@@ -1,0 +1,456 @@
+"""English text normalization + grapheme-to-IPA.
+
+Pipeline parity with the reference (reference ``text/english.py:160-188``):
+ASCII-fold → lowercase → abbreviation expansion → number/currency/ordinal
+normalization → IPA conversion → (for ``english_to_ipa2``) dark-l marking and
+the r/ʤ/ʧ substitutions.
+
+The reference depends on ``unidecode``, ``inflect`` and ``eng_to_ipa``; none of
+those are required here:
+
+* ASCII folding uses ``unidecode`` when installed, else a Unicode-NFKD fold,
+* number normalization is a built-in English number-to-words engine,
+* G2P uses ``eng_to_ipa`` when installed, else a built-in lexicon +
+  letter-to-sound rules (lower fidelity than a CMUdict lookup, but fully
+  standalone; install ``eng_to_ipa`` for dictionary-grade output).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+try:  # optional, higher-quality transliteration
+    from unidecode import unidecode as _unidecode  # type: ignore
+except Exception:  # pragma: no cover - depends on environment
+    _unidecode = None
+
+try:  # optional, dictionary-based IPA
+    import eng_to_ipa as _eng_to_ipa  # type: ignore
+except Exception:  # pragma: no cover - depends on environment
+    _eng_to_ipa = None
+
+
+# --------------------------------------------------------------------------
+# ASCII folding
+# --------------------------------------------------------------------------
+
+def ascii_fold(text: str) -> str:
+    """Transliterate to ASCII. Uses unidecode when available, else NFKD."""
+    if _unidecode is not None:
+        return _unidecode(text)
+    folded = unicodedata.normalize("NFKD", text)
+    return "".join(ch for ch in folded if ord(ch) < 128)
+
+
+# --------------------------------------------------------------------------
+# Abbreviations (the standard keithito/tacotron set, reference english.py:32-51)
+# --------------------------------------------------------------------------
+
+_ABBREVIATIONS = [
+    (re.compile(rf"\b{abbr}\.", re.IGNORECASE), full)
+    for abbr, full in [
+        ("mrs", "misess"),
+        ("mr", "mister"),
+        ("dr", "doctor"),
+        ("st", "saint"),
+        ("co", "company"),
+        ("jr", "junior"),
+        ("maj", "major"),
+        ("gen", "general"),
+        ("drs", "doctors"),
+        ("rev", "reverend"),
+        ("lt", "lieutenant"),
+        ("hon", "honorable"),
+        ("sgt", "sergeant"),
+        ("capt", "captain"),
+        ("esq", "esquire"),
+        ("ltd", "limited"),
+        ("col", "colonel"),
+        ("ft", "fort"),
+    ]
+]
+
+
+def expand_abbreviations(text: str) -> str:
+    for regex, replacement in _ABBREVIATIONS:
+        text = re.sub(regex, replacement, text)
+    return text
+
+
+def collapse_whitespace(text: str) -> str:
+    return re.sub(r"\s+", " ", text)
+
+
+# --------------------------------------------------------------------------
+# Number-to-words (standalone replacement for the reference's inflect usage)
+# --------------------------------------------------------------------------
+
+_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_TENS = [
+    "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+    "eighty", "ninety",
+]
+_SCALES = [
+    (10 ** 12, "trillion"),
+    (10 ** 9, "billion"),
+    (10 ** 6, "million"),
+    (10 ** 3, "thousand"),
+]
+
+_ORDINAL_SPECIAL = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def _two_digits_to_words(n: int) -> str:
+    if n < 20:
+        return _ONES[n]
+    tens, ones = divmod(n, 10)
+    return _TENS[tens] + ("-" + _ONES[ones] if ones else "")
+
+
+def _three_digits_to_words(n: int, andword: str = "") -> str:
+    hundreds, rest = divmod(n, 100)
+    parts = []
+    if hundreds:
+        parts.append(_ONES[hundreds] + " hundred")
+    if rest:
+        if hundreds and andword:
+            parts.append(andword)
+        parts.append(_two_digits_to_words(rest))
+    return " ".join(parts)
+
+
+def number_to_words(n: int, andword: str = "") -> str:
+    """Cardinal words for a non-negative integer, e.g. 1234 ->
+    'one thousand two hundred thirty-four' (andword='' like the reference)."""
+    if n < 0:
+        return "minus " + number_to_words(-n, andword)
+    if n == 0:
+        return "zero"
+    parts = []
+    for scale_value, scale_name in _SCALES:
+        if n >= scale_value:
+            count, n = divmod(n, scale_value)
+            parts.append(_three_digits_to_words(count, andword) + " " + scale_name)
+    if n:
+        parts.append(_three_digits_to_words(n, andword))
+    return " ".join(parts)
+
+
+def number_to_ordinal_words(n: int) -> str:
+    words = number_to_words(n)
+    head, _, last = words.rpartition(" ")
+    hyph_head, _, hyph_last = last.rpartition("-")
+    core = hyph_last
+    if core in _ORDINAL_SPECIAL:
+        ordinal = _ORDINAL_SPECIAL[core]
+    elif core.endswith("y"):
+        ordinal = core[:-1] + "ieth"
+    else:
+        ordinal = core + "th"
+    rebuilt = (hyph_head + "-" if hyph_head else "") + ordinal
+    return (head + " " if head else "") + rebuilt
+
+
+def _year_to_words(n: int) -> str:
+    """Pairwise digit grouping for years, e.g. 1985 -> 'nineteen eighty-five',
+    1906 -> 'nineteen oh six' (reference english.py:131-143 semantics)."""
+    if n == 2000:
+        return "two thousand"
+    if 2000 < n < 2010:
+        return "two thousand " + number_to_words(n % 100)
+    if n % 100 == 0:
+        return number_to_words(n // 100) + " hundred"
+    hi, lo = divmod(n, 100)
+    if lo < 10:
+        lo_words = "oh " + _ONES[lo]
+    else:
+        lo_words = _two_digits_to_words(lo)
+    return _two_digits_to_words(hi) + " " + lo_words
+
+
+_COMMA_NUMBER_RE = re.compile(r"([0-9][0-9\,]+[0-9])")
+_DECIMAL_RE = re.compile(r"([0-9]+\.[0-9]+)")
+_POUNDS_RE = re.compile(r"£([0-9\,]*[0-9]+)")
+_DOLLARS_RE = re.compile(r"\$([0-9\.\,]*[0-9]+)")
+_ORDINAL_RE = re.compile(r"[0-9]+(st|nd|rd|th)")
+_NUMBER_RE = re.compile(r"[0-9]+")
+
+
+def _expand_dollars(m: re.Match) -> str:
+    match = m.group(1)
+    parts = match.split(".")
+    if len(parts) > 2:
+        return match + " dollars"
+    dollars = int(parts[0]) if parts[0] else 0
+    cents = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+    if dollars and cents:
+        dollar_unit = "dollar" if dollars == 1 else "dollars"
+        cent_unit = "cent" if cents == 1 else "cents"
+        return f"{dollars} {dollar_unit}, {cents} {cent_unit}"
+    if dollars:
+        return f"{dollars} {'dollar' if dollars == 1 else 'dollars'}"
+    if cents:
+        return f"{cents} {'cent' if cents == 1 else 'cents'}"
+    return "zero dollars"
+
+
+def _expand_number(m: re.Match) -> str:
+    num = int(m.group(0))
+    if 1000 < num < 3000:
+        return _year_to_words(num)
+    return number_to_words(num)
+
+
+def normalize_numbers(text: str) -> str:
+    text = re.sub(_COMMA_NUMBER_RE, lambda m: m.group(1).replace(",", ""), text)
+    text = re.sub(_POUNDS_RE, r"\1 pounds", text)
+    text = re.sub(_DOLLARS_RE, _expand_dollars, text)
+    text = re.sub(_DECIMAL_RE, lambda m: m.group(1).replace(".", " point "), text)
+    text = re.sub(_ORDINAL_RE, lambda m: number_to_ordinal_words(int(m.group(0)[:-2])), text)
+    text = re.sub(_NUMBER_RE, _expand_number, text)
+    return text
+
+
+# --------------------------------------------------------------------------
+# Built-in G2P fallback: small lexicon + letter-to-sound rules.
+# Output style matches eng_to_ipa (CMU-derived IPA, ˈ stress marks).
+# --------------------------------------------------------------------------
+
+_LEXICON = {
+    "a": "ə", "an": "ən", "the": "ðə", "i": "aɪ", "you": "ju", "he": "hi",
+    "she": "ʃi", "it": "ɪt", "we": "wi", "they": "ðeɪ", "me": "mi",
+    "my": "maɪ", "your": "jər", "his": "hɪz", "her": "hər", "its": "ɪts",
+    "our": "aʊər", "their": "ðɛr", "this": "ðɪs", "that": "ðæt",
+    "these": "ðiz", "those": "ðoʊz", "is": "ɪz", "am": "æm", "are": "ər",
+    "was": "wəz", "were": "wər", "be": "bi", "been": "bɪn", "being": "biɪŋ",
+    "have": "hæv", "has": "hæz", "had": "hæd", "do": "du", "does": "dəz",
+    "did": "dɪd", "will": "wɪl", "would": "wʊd", "can": "kæn",
+    "could": "kʊd", "should": "ʃʊd", "shall": "ʃæl", "may": "meɪ",
+    "might": "maɪt", "must": "məst", "and": "ænd", "or": "ɔr", "but": "bət",
+    "if": "ɪf", "then": "ðɛn", "than": "ðæn", "because": "bɪˈkɔz",
+    "so": "soʊ", "not": "nɑt", "no": "noʊ", "yes": "jɛs", "of": "əv",
+    "to": "tu", "in": "ɪn", "on": "ɑn", "at": "æt", "by": "baɪ",
+    "for": "fɔr", "with": "wɪð", "about": "əˈbaʊt", "against": "əˈgɛnst",
+    "between": "bɪˈtwin", "into": "ˈɪntu", "through": "θru",
+    "during": "ˈdərɪŋ", "before": "bɪˈfɔr", "after": "ˈæftər",
+    "above": "əˈbəv", "below": "bɪˈloʊ", "from": "frəm", "up": "əp",
+    "down": "daʊn", "out": "aʊt", "off": "ɔf", "over": "ˈoʊvər",
+    "under": "ˈəndər", "again": "əˈgɛn", "further": "ˈfərðər",
+    "once": "wəns", "here": "hir", "there": "ðɛr", "when": "wɛn",
+    "where": "wɛr", "why": "waɪ", "how": "haʊ", "all": "ɔl", "any": "ˈɛni",
+    "both": "boʊθ", "each": "iʧ", "few": "fju", "more": "mɔr",
+    "most": "moʊst", "other": "ˈəðər", "some": "səm", "such": "səʧ",
+    "only": "ˈoʊnli", "own": "oʊn", "same": "seɪm", "very": "ˈvɛri",
+    "just": "ʤəst", "one": "wən", "two": "tu", "three": "θri",
+    "four": "fɔr", "five": "faɪv", "six": "sɪks", "seven": "ˈsɛvən",
+    "eight": "eɪt", "nine": "naɪn", "ten": "tɛn", "eleven": "ɪˈlɛvən",
+    "twelve": "twɛlv", "twenty": "ˈtwɛnti", "thirty": "ˈθərdi",
+    "forty": "ˈfɔrti", "fifty": "ˈfɪfti", "hundred": "ˈhəndrəd",
+    "thousand": "ˈθaʊzənd", "million": "ˈmɪljən", "billion": "ˈbɪljən",
+    "first": "fərst", "second": "ˈsɛkənd", "third": "θərd",
+    "people": "ˈpipəl", "time": "taɪm", "day": "deɪ", "year": "jɪr",
+    "way": "weɪ", "thing": "θɪŋ", "man": "mæn", "woman": "ˈwʊmən",
+    "world": "wərld", "life": "laɪf", "hand": "hænd", "part": "pɑrt",
+    "child": "ʧaɪld", "eye": "aɪ", "place": "pleɪs", "work": "wərk",
+    "week": "wik", "case": "keɪs", "point": "pɔɪnt",
+    "government": "ˈgəvərmənt", "company": "ˈkəmpəni", "number": "ˈnəmbər",
+    "group": "grup", "problem": "ˈprɑbləm", "fact": "fækt", "good": "gʊd",
+    "new": "nu", "old": "oʊld", "great": "greɪt", "high": "haɪ",
+    "small": "smɔl", "large": "lɑrʤ", "long": "lɔŋ", "little": "ˈlɪtəl",
+    "right": "raɪt", "big": "bɪg", "different": "ˈdɪfərənt",
+    "important": "ɪmˈpɔrtənt", "public": "ˈpəblɪk", "bad": "bæd",
+    "able": "ˈeɪbəl", "say": "seɪ", "said": "sɛd", "get": "gɛt",
+    "got": "gɑt", "make": "meɪk", "made": "meɪd", "go": "goʊ",
+    "went": "wɛnt", "know": "noʊ", "knew": "nu", "take": "teɪk",
+    "took": "tʊk", "see": "si", "saw": "sɔ", "come": "kəm",
+    "came": "keɪm", "think": "θɪŋk", "thought": "θɔt", "look": "lʊk",
+    "want": "wɑnt", "give": "gɪv", "gave": "geɪv", "use": "juz",
+    "used": "juzd", "find": "faɪnd", "found": "faʊnd", "tell": "tɛl",
+    "told": "toʊld", "ask": "æsk", "seem": "sim", "feel": "fil",
+    "felt": "fɛlt", "try": "traɪ", "leave": "liv", "left": "lɛft",
+    "call": "kɔl", "hello": "hɛˈloʊ", "hi": "haɪ", "goodbye": "gʊdˈbaɪ",
+    "please": "pliz", "thank": "θæŋk", "thanks": "θæŋks",
+    "sorry": "ˈsɑri", "test": "tɛst", "voice": "vɔɪs", "speech": "spiʧ",
+    "sound": "saʊnd", "audio": "ˈɔdioʊ", "text": "tɛkst",
+    "language": "ˈlæŋgwəʤ", "english": "ˈɪŋglɪʃ", "chinese": "ʧaɪˈniz",
+    "japanese": "ˌʤæpəˈniz", "korean": "kɔˈriən", "model": "ˈmɑdəl",
+    "speaker": "ˈspikər", "custom": "ˈkəstəm", "quick": "kwɪk",
+    "brown": "braʊn", "fox": "fɑks", "jumps": "ʤəmps", "jumped": "ʤəmpt",
+    "lazy": "ˈleɪzi", "dog": "dɔg", "cat": "kæt", "water": "ˈwɔtər",
+    "fire": "ˈfaɪər", "earth": "ərθ", "air": "ɛr", "love": "ləv",
+    "house": "haʊs", "school": "skul", "friend": "frɛnd",
+    "family": "ˈfæməli", "mother": "ˈməðər", "father": "ˈfɑðər",
+    "morning": "ˈmɔrnɪŋ", "night": "naɪt", "today": "təˈdeɪ",
+    "tomorrow": "təˈmɑˌroʊ", "yesterday": "ˈjɛstərˌdeɪ",
+    "point": "pɔɪnt", "dollars": "ˈdɑlərz", "dollar": "ˈdɑlər",
+    "cents": "sɛnts", "cent": "sɛnt", "pounds": "paʊndz",
+    "percent": "pərˈsɛnt", "zero": "ˈzɪroʊ", "oh": "oʊ",
+    "computer": "kəmˈpjutər", "system": "ˈsɪstəm", "music": "ˈmjuzɪk",
+    "story": "ˈstɔri", "read": "rid", "reading": "ˈridɪŋ",
+    "book": "bʊk", "beautiful": "ˈbjutəfəl", "weather": "ˈwɛðər",
+    "city": "ˈsɪti", "country": "ˈkəntri", "question": "ˈkwɛsʧən",
+    "answer": "ˈænsər", "word": "wərd", "words": "wərdz",
+    "sentence": "ˈsɛntəns", "synthesis": "ˈsɪnθəsəs",
+}
+
+# Letter-to-sound rules, tried longest-match-first at each position.
+# (suffix rules are applied before the main scan)
+_LTS_SUFFIXES = [
+    ("tion", "ʃən"), ("sion", "ʒən"), ("ture", "ʧər"), ("tious", "ʃəs"),
+    ("cious", "ʃəs"), ("cial", "ʃəl"), ("tial", "ʃəl"), ("ing", "ɪŋ"),
+    ("ness", "nəs"), ("ment", "mənt"), ("able", "əbəl"), ("ible", "əbəl"),
+    ("ously", "əsli"), ("ous", "əs"), ("ful", "fəl"), ("less", "ləs"),
+    ("ly", "li"), ("er", "ər"), ("est", "əst"), ("ed", "d"),
+]
+
+_LTS_RULES = [
+    # digraphs / trigraphs first (longest match wins)
+    ("tch", "ʧ"), ("sch", "sk"), ("igh", "aɪ"), ("eigh", "eɪ"),
+    ("ought", "ɔt"), ("aught", "ɔt"),
+    ("ch", "ʧ"), ("sh", "ʃ"), ("th", "θ"), ("ph", "f"), ("wh", "w"),
+    ("ck", "k"), ("ng", "ŋ"), ("qu", "kw"), ("gh", "g"), ("kn", "n"),
+    ("wr", "r"), ("gn", "n"), ("mb", "m"), ("dge", "ʤ"),
+    # vowel teams
+    ("eau", "oʊ"), ("iou", "jə"),
+    ("ai", "eɪ"), ("ay", "eɪ"), ("ee", "i"), ("ea", "i"), ("ey", "i"),
+    ("oa", "oʊ"), ("ow", "oʊ"), ("oo", "u"), ("ou", "aʊ"), ("oi", "ɔɪ"),
+    ("oy", "ɔɪ"), ("au", "ɔ"), ("aw", "ɔ"), ("ew", "u"), ("ue", "u"),
+    ("ie", "i"), ("ei", "eɪ"),
+    ("ar", "ɑr"), ("or", "ɔr"), ("er", "ər"), ("ir", "ər"), ("ur", "ər"),
+    # single letters
+    ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "ɛ"),
+    ("f", "f"), ("g", "g"), ("h", "h"), ("i", "ɪ"), ("j", "ʤ"),
+    ("k", "k"), ("l", "l"), ("m", "m"), ("n", "n"), ("o", "ɑ"),
+    ("p", "p"), ("r", "r"), ("s", "s"), ("t", "t"), ("u", "ə"),
+    ("v", "v"), ("w", "w"), ("x", "ks"), ("y", "j"), ("z", "z"),
+]
+_LTS_RULES.sort(key=lambda kv: -len(kv[0]))
+
+_SOFT_C_VOWELS = set("eiy")
+
+
+def _lts_word(word: str) -> str:
+    """Rule-based grapheme→IPA for out-of-lexicon words."""
+    out = []
+    # strip one trailing silent e ("make" -> long vowel handled crudely)
+    body = word
+    suffix_ipa = ""
+    for suf, ipa_suf in _LTS_SUFFIXES:
+        if body.endswith(suf) and len(body) > len(suf) + 1:
+            body = body[: -len(suf)]
+            suffix_ipa = ipa_suf
+            break
+    silent_e = len(body) > 2 and body.endswith("e") and body[-2] not in "aeiou"
+    if silent_e:
+        body = body[:-1]
+    i = 0
+    while i < len(body):
+        # context-sensitive soft c/g
+        if body[i] == "c" and i + 1 < len(body) and body[i + 1] in _SOFT_C_VOWELS:
+            out.append("s")
+            i += 1
+            continue
+        if body[i] == "g" and i + 1 < len(body) and body[i + 1] in _SOFT_C_VOWELS:
+            out.append("ʤ")
+            i += 1
+            continue
+        if body[i] == "y" and (i == len(body) - 1 or body[i + 1] not in "aeiou"):
+            out.append("i" if i == len(body) - 1 else "ɪ")
+            i += 1
+            continue
+        for pat, ipa_sub in _LTS_RULES:
+            if body.startswith(pat, i):
+                out.append(ipa_sub)
+                i += len(pat)
+                break
+        else:
+            i += 1  # unknown character: drop
+    ipa = "".join(out)
+    if silent_e:
+        # magic-e lengthening of the last short vowel
+        for short, long_v in [("æ", "eɪ"), ("ɛ", "i"), ("ɪ", "aɪ"), ("ɑ", "oʊ"), ("ə", "u")]:
+            idx = ipa.rfind(short)
+            if idx != -1:
+                ipa = ipa[:idx] + long_v + ipa[idx + len(short):]
+                break
+    return ipa + suffix_ipa
+
+
+_WORD_RE = re.compile(r"[a-z']+|[^a-z']")
+
+
+def _builtin_convert(text: str) -> str:
+    parts = []
+    for tok in _WORD_RE.findall(text):
+        if tok and tok[0].isalpha():
+            word = tok.replace("'", "")
+            parts.append(_LEXICON.get(word) or _lts_word(word))
+        else:
+            parts.append(tok)
+    return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Public pipeline (reference english.py:156-188)
+# --------------------------------------------------------------------------
+
+_LAZY_IPA = [(re.compile(p), r) for p, r in [
+    ("r", "ɹ"), ("æ", "e"), ("ɑ", "a"), ("ɔ", "o"), ("ð", "z"), ("θ", "s"),
+    ("ɛ", "e"), ("ɪ", "i"), ("ʊ", "u"), ("ʒ", "ʥ"), ("ʤ", "ʥ"), ("ˈ", "↓"),
+]]
+
+_LAZY_IPA2 = [(re.compile(p), r) for p, r in [
+    ("r", "ɹ"), ("ð", "z"), ("θ", "s"), ("ʒ", "ʑ"), ("ʤ", "dʑ"), ("ˈ", "↓"),
+]]
+
+_IPA_TO_IPA2 = [(re.compile(p), r) for p, r in [
+    ("r", "ɹ"), ("ʤ", "dʒ"), ("ʧ", "tʃ"),
+]]
+
+
+def mark_dark_l(text: str) -> str:
+    """Mark syllable-final (dark) l as ɫ (reference english.py:156-157)."""
+    return re.sub(r"l([^aeiouæɑɔəɛɪʊ ]*(?: |$))", lambda m: "ɫ" + m.group(1), text)
+
+
+def english_to_ipa(text: str) -> str:
+    text = ascii_fold(text).lower()
+    text = expand_abbreviations(text)
+    text = normalize_numbers(text)
+    if _eng_to_ipa is not None:
+        phonemes = _eng_to_ipa.convert(text)
+        phonemes = phonemes.replace("*", "")  # eng_to_ipa OOV marker
+    else:
+        phonemes = _builtin_convert(text)
+    return collapse_whitespace(phonemes)
+
+
+def english_to_lazy_ipa(text: str) -> str:
+    text = english_to_ipa(text)
+    for regex, replacement in _LAZY_IPA:
+        text = re.sub(regex, replacement, text)
+    return text
+
+
+def english_to_ipa2(text: str) -> str:
+    """The cjke_cleaners2 English path (reference english.py:176-181)."""
+    text = english_to_ipa(text)
+    text = mark_dark_l(text)
+    for regex, replacement in _IPA_TO_IPA2:
+        text = re.sub(regex, replacement, text)
+    return text.replace("...", "…")
+
+
+def english_to_lazy_ipa2(text: str) -> str:
+    text = english_to_ipa(text)
+    for regex, replacement in _LAZY_IPA2:
+        text = re.sub(regex, replacement, text)
+    return text

@@ -1,0 +1,222 @@
+"""Text frontend tests: symbol table, sequence mapping, cleaners, G2P."""
+
+import pytest
+
+from personalized_text_to_speech_tpu.text import (
+    SYMBOLS,
+    cleaned_text_to_sequence,
+    intersperse,
+    sequence_to_text,
+    text_to_sequence,
+)
+from personalized_text_to_speech_tpu.text import cleaners
+from personalized_text_to_speech_tpu.text import english, japanese, korean, mandarin
+from personalized_text_to_speech_tpu.text.symbols import SPACE_ID
+
+
+class TestSymbols:
+    def test_size_and_order(self):
+        # must match the reference cjke_cleaners2 vocabulary exactly
+        assert len(SYMBOLS) == 68
+        assert SYMBOLS[0] == "_"
+        assert SYMBOLS[1:8] == [",", ".", "!", "?", "-", "~", "…"]
+        assert SYMBOLS[-1] == " "
+        assert SPACE_ID == 67
+
+    def test_matches_reference_config_table(self):
+        expected = ["_", ",", ".", "!", "?", "-", "~", "…", "N", "Q", "a", "b",
+                    "d", "e", "f", "g", "h", "i", "j", "k", "l", "m", "n", "o",
+                    "p", "s", "t", "u", "v", "w", "x", "y", "z", "ɑ", "æ", "ʃ",
+                    "ʑ", "ç", "ɯ", "ɪ", "ɔ", "ɛ", "ɹ", "ð", "ə", "ɫ", "ɥ", "ɸ",
+                    "ʊ", "ɾ", "ʒ", "θ", "β", "ŋ", "ɦ", "⁼", "ʰ", "`", "^", "#",
+                    "*", "=", "ˈ", "ˌ", "→", "↓", "↑", " "]
+        assert SYMBOLS == expected
+
+
+class TestSequences:
+    def test_cleaned_roundtrip(self):
+        text = "ni↓xɑʊ↓"
+        seq = cleaned_text_to_sequence(text)
+        assert sequence_to_text(seq) == text
+
+    def test_unknown_chars_skipped(self):
+        assert cleaned_text_to_sequence("aZa") == cleaned_text_to_sequence("aa")
+
+    def test_intersperse(self):
+        assert intersperse([1, 2, 3], 0) == [0, 1, 0, 2, 0, 3, 0]
+        assert intersperse([], 0) == [0]
+
+    def test_text_to_sequence_english(self):
+        seq = text_to_sequence("[EN]Hello world[EN]")
+        assert len(seq) > 0
+        assert all(0 <= i < len(SYMBOLS) for i in seq)
+
+
+class TestEnglish:
+    def test_number_to_words(self):
+        assert english.number_to_words(0) == "zero"
+        assert english.number_to_words(21) == "twenty-one"
+        assert english.number_to_words(105) == "one hundred five"
+        assert english.number_to_words(1234) == (
+            "one thousand two hundred thirty-four"
+        )
+        assert english.number_to_words(1000000) == "one million"
+
+    def test_years(self):
+        assert english._year_to_words(1985) == "nineteen eighty-five"
+        assert english._year_to_words(1906) == "nineteen oh six"
+        assert english._year_to_words(2000) == "two thousand"
+        assert english._year_to_words(2005) == "two thousand five"
+        assert english._year_to_words(1900) == "nineteen hundred"
+
+    def test_ordinals(self):
+        assert english.number_to_ordinal_words(1) == "first"
+        assert english.number_to_ordinal_words(2) == "second"
+        assert english.number_to_ordinal_words(3) == "third"
+        assert english.number_to_ordinal_words(20) == "twentieth"
+        assert english.number_to_ordinal_words(21) == "twenty-first"
+        assert english.number_to_ordinal_words(100) == "one hundredth"
+
+    def test_normalize_numbers(self):
+        assert "one dollar" in english.normalize_numbers("$1")
+        assert "ten dollars" in english.normalize_numbers("$10")
+        assert "point" in english.normalize_numbers("3.5")
+        assert "pounds" in english.normalize_numbers("£5")
+        assert "," not in english.normalize_numbers("1,234")
+
+    def test_abbreviations(self):
+        assert english.expand_abbreviations("mr. smith") == "mister smith"
+        assert english.expand_abbreviations("dr. who") == "doctor who"
+
+    def test_ipa2_output_in_vocab(self):
+        ipa = english.english_to_ipa2("Hello, this is a test of my custom voice.")
+        # all characters must be coverable by the 68-symbol vocabulary
+        # (modulo chars the mapping legitimately drops)
+        known = set(SYMBOLS)
+        unknown = [ch for ch in ipa if ch not in known]
+        assert unknown == [], f"unmapped: {unknown!r} in {ipa!r}"
+
+    def test_ipa2_substitutions(self):
+        ipa = english.english_to_ipa2("red church")
+        assert "r" not in ipa  # r → ɹ
+        assert "ɹ" in ipa
+        assert "ʧ" not in ipa  # ʧ → tʃ
+
+    def test_dark_l(self):
+        assert "ɫ" in english.mark_dark_l("fil ")
+
+
+class TestMandarin:
+    def test_int_to_chinese(self):
+        assert mandarin.int_to_chinese(0) == "零"
+        assert mandarin.int_to_chinese(123) == "一百二十三"
+        assert mandarin.int_to_chinese(1005) == "一千零五"
+        assert mandarin.int_to_chinese(10) == "十"
+        assert mandarin.int_to_chinese(20000) == "二万"
+
+    def test_arabic_decimal(self):
+        assert mandarin.arabic_to_chinese("1.5") == "一点五"
+
+    def test_pinyin_to_bopomofo(self):
+        assert mandarin.pinyin_syllable_to_bopomofo("ni3") == "ㄋㄧˇ"
+        assert mandarin.pinyin_syllable_to_bopomofo("hao3") == "ㄏㄠˇ"
+        assert mandarin.pinyin_syllable_to_bopomofo("zhong1") == "ㄓㄨㄥˉ"
+        assert mandarin.pinyin_syllable_to_bopomofo("shi4") == "ㄕˋ"
+        assert mandarin.pinyin_syllable_to_bopomofo("yu2") == "ㄩˊ"
+        assert mandarin.pinyin_syllable_to_bopomofo("xu3") == "ㄒㄩˇ"
+
+    def test_pinyin_to_ipa(self):
+        ipa = mandarin.pinyin_to_ipa("ni3 hao3")
+        assert "n" in ipa and "↓↑" in ipa
+        # 3rd tone arrow pair present twice
+        assert ipa.count("↓↑") == 2
+
+    def test_chinese_to_ipa_builtin_dict(self):
+        ipa = mandarin.chinese_to_ipa("你好")
+        assert "↓↑" in ipa
+        known = set(SYMBOLS)
+        unknown = [ch for ch in ipa if ch not in known]
+        assert unknown == [], f"unmapped: {unknown!r} in {ipa!r}"
+
+    def test_number_to_chinese_in_text(self):
+        assert mandarin.number_to_chinese("我有3个") == "我有三个"
+
+    def test_apical_vowels(self):
+        # shi4 → s`ɹ`↓ : retroflex sibilant gets apical vowel ɹ`
+        ipa = mandarin.pinyin_to_ipa("shi4")
+        assert "ɹ`" in ipa
+        ipa = mandarin.pinyin_to_ipa("si4")
+        assert "sɹ" in ipa
+
+
+class TestJapanese:
+    def test_kana_fallback(self):
+        # naive kana reading (no particle-は→wa disambiguation without openjtalk)
+        romaji = japanese.japanese_to_romaji_with_accent("こんにちは")
+        assert romaji.startswith("koN") and "ʧi" in romaji
+
+    def test_ipa2(self):
+        ipa = japanese.japanese_to_ipa2("こんにちは")
+        # u → ɯ substitution is applied
+        assert "u" not in ipa
+        known = set(SYMBOLS)
+        unknown = [ch for ch in ipa if ch not in known]
+        assert unknown == [], f"unmapped: {unknown!r} in {ipa!r}"
+
+    def test_sokuon(self):
+        # って → t#te (geminate marker)
+        ipa = japanese.japanese_to_ipa2("きって")
+        assert "#" in ipa
+
+    def test_katakana(self):
+        romaji = japanese.japanese_to_romaji_with_accent("テスト")
+        assert "te" in romaji and "to" in romaji
+
+
+class TestKorean:
+    def test_divide_hangul(self):
+        assert korean.divide_hangul("한") == "ㅎㅏㄴ"
+        assert korean.divide_hangul("가") == "ㄱㅏ"
+
+    def test_number_to_hangul(self):
+        assert korean.number_to_hangul("3") == "삼"
+        assert korean.number_to_hangul("10") == "십"
+        assert korean.number_to_hangul("21") == "이십일"
+
+    def test_korean_to_ipa(self):
+        ipa = korean.korean_to_ipa("안녕")
+        assert len(ipa) > 0
+
+
+class TestCleaners:
+    def test_cjke_cleaners2_english(self):
+        out = cleaners.cjke_cleaners2("[EN]Hello world[EN]")
+        assert out.endswith(".") or out[-1] in ",.!?-…~"
+        assert "[EN]" not in out
+
+    def test_cjke_cleaners2_chinese(self):
+        out = cleaners.cjke_cleaners2("[ZH]你好[ZH]")
+        assert "[ZH]" not in out
+        assert "↓↑" in out
+
+    def test_cjke_cleaners2_mixed(self):
+        out = cleaners.cjke_cleaners2("[ZH]你好[ZH][EN]world[EN]")
+        assert "[" not in out
+
+    def test_final_punctuation_added(self):
+        out = cleaners.cjke_cleaners2("[EN]no punctuation here[EN]")
+        assert out[-1] in ".,!?-…~"
+
+    def test_auto_tag(self):
+        assert cleaners.auto_tag("hello") == "[EN]hello[EN]"
+        assert cleaners.auto_tag("你好") == "[ZH]你好[ZH]"
+        tagged = cleaners.auto_tag("你好hello")
+        assert "[ZH]你好[ZH]" in tagged and "[EN]hello[EN]" in tagged
+        # kana presence biases han to Japanese
+        assert cleaners.auto_tag("日本語です") == "[JA]日本語です[JA]"
+
+    def test_detect_language(self):
+        assert cleaners.detect_language("hello") == "EN"
+        assert cleaners.detect_language("你好") == "ZH"
+        assert cleaners.detect_language("こんにちは") == "JA"
+        assert cleaners.detect_language("안녕") == "KO"
