@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end text→waveform synthesis throughput (1/RTF) per chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no performance numbers (BASELINE.md); ``vs_baseline``
+is measured against the driver-set target of ≥50× real-time per TPU-v5e chip.
+
+Methodology: full-size trilingual VITS config (hidden 192, upsample ×256,
+22.05 kHz — reference ``configs/finetune_speaker.json``), random weights
+(no pretrained checkpoint is available in this environment; FLOPs and memory
+traffic are weight-independent), bf16 compute by default
+(``PTTS_BENCH_DTYPE=float32`` to override).  A batch of sentences is
+synthesized repeatedly after full warmup (compile + first-transfer channel
+setup are excluded — they are one-time costs amortized by the persistent
+compilation cache); 1/RTF = generated audio seconds / wall-clock seconds,
+using the true (unpadded) audio lengths.  Single-utterance p50 latency is
+reported as an extra field.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "")
+    import jax
+
+    from personalized_text_to_speech_tpu.config import default_model_config, HParams
+    from personalized_text_to_speech_tpu.infer import TTSEngine
+    from personalized_text_to_speech_tpu.utils import runtime
+
+    runtime.enable_compilation_cache()
+    runtime.warmup_transfers()
+
+    dtype = os.environ.get("PTTS_BENCH_DTYPE", "bfloat16")
+    batch = int(os.environ.get("PTTS_BENCH_BATCH", "8"))
+    reps = int(os.environ.get("PTTS_BENCH_REPS", "5"))
+
+    hps = default_model_config(n_speakers=999)
+    eng = TTSEngine(hps, dtype=dtype)
+
+    sentences = [
+        "The quick brown fox jumps over the lazy dog near the river bank.",
+        "Speech synthesis converts written language into audible speech.",
+        "Yesterday it rained all morning, but the afternoon was bright and clear.",
+        "Please remember to close the windows before you leave the building.",
+        "Modern hardware accelerates matrix multiplication astonishingly well.",
+        "A journey of a thousand miles begins with a single step forward.",
+        "She sells seashells by the seashore on sunny summer mornings.",
+        "The committee will announce its final decision early next week.",
+    ]
+    texts = (sentences * ((batch + len(sentences) - 1) // len(sentences)))[:batch]
+    id_seqs = [eng.text_to_ids(t, "English") for t in texts]
+    sids = list(np.arange(batch) % 10)
+
+    # warmup: compiles encode/decode for the buckets involved
+    wavs = eng.synthesize_ids(id_seqs, sids)
+    wavs = eng.synthesize_ids(id_seqs, sids)
+
+    # throughput: batched synthesis
+    t0 = time.perf_counter()
+    total_audio = 0.0
+    for _ in range(reps):
+        wavs = eng.synthesize_ids(id_seqs, sids)
+        total_audio += sum(len(w) for w in wavs) / eng.sampling_rate
+    wall = time.perf_counter() - t0
+    inv_rtf = total_audio / wall
+
+    # p50 single-utterance latency
+    lat = []
+    single_ids = [id_seqs[0]]
+    eng.synthesize_ids(single_ids, [0])  # warm that bucket
+    for _ in range(max(reps, 5)):
+        t0 = time.perf_counter()
+        eng.synthesize_ids(single_ids, [0])
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(lat, 50) * 1000)
+
+    target = 50.0  # driver target: ≥50× real-time per chip
+    result = {
+        "metric": "synthesized audio sec/sec/chip (1/RTF) text→wav",
+        "value": round(inv_rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(inv_rtf / target, 3),
+        "p50_latency_ms": round(p50_ms, 1),
+        "batch": batch,
+        "dtype": dtype,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result, ensure_ascii=False))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,314 @@
+"""The TTS serving engine: text → waveform with static-shape bucketed jit.
+
+Serving counterpart of the reference inference scripts (reference
+``VC_inference.py:31-53``, ``cmd_inference.py:47-117``), rebuilt for XLA's
+compile-once model:
+
+* text IDs are padded to the smallest **text bucket**; the cheap
+  encoder+duration stage compiles once per bucket,
+* the predicted frame count selects the smallest **frame bucket**; the
+  expensive flow+HiFi-GAN decode stage compiles once per (text, frame)
+  bucket pair and always runs full-canvas, masked to the true length,
+* long-form input is sentence-split and synthesized as a length-bucketed
+  batch, then concatenated — the capability the reference leaves to the
+  user (one Gradio call = one utterance).
+
+Default sampling knobs match the reference UI (noise 0.667, noise_w 0.8,
+speed slider → ``length_scale = 1/speed``, ``VC_inference.py:48-49``).
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from personalized_text_to_speech_tpu import text as text_frontend
+from personalized_text_to_speech_tpu.config import HParams
+from personalized_text_to_speech_tpu.models.synthesizer import SynthesizerTrn
+from personalized_text_to_speech_tpu.text.cleaners import auto_tag
+
+LANGUAGE_MARKS = {
+    "Japanese": "[JA]",
+    "日本語": "[JA]",
+    "Chinese": "[ZH]",
+    "简体中文": "[ZH]",
+    "English": "[EN]",
+    "Korean": "[KO]",
+    "Mix": "",
+    None: None,
+}
+
+_SENTENCE_SPLIT = re.compile(r"(?<=[.!?。！？；;…])\s*")
+
+
+def _next_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class TTSEngine:
+    """Checkpoint + config → a callable synthesizer with jit caching."""
+
+    def __init__(
+        self,
+        hps: HParams,
+        params: Optional[dict] = None,
+        checkpoint_path: Optional[str] = None,
+        dtype: str = "float32",
+        seed: int = 1234,
+    ):
+        self.hps = hps
+        self.sampling_rate = hps.data.sampling_rate
+        self.hop_length = hps.data.hop_length
+        self.add_blank = hps.data.add_blank
+        self.symbols = list(hps.symbols)
+        self.cleaners = list(hps.data.text_cleaners)
+        self.speakers: Dict[str, int] = dict(
+            hps.speakers.items() if hasattr(hps.speakers, "items") else {}
+        )
+        self.text_buckets = list(hps.tpu.text_buckets)
+        self.frame_buckets = list(hps.tpu.frame_buckets)
+
+        self.model = SynthesizerTrn.from_hparams(
+            hps, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        )
+        self._rng = jax.random.PRNGKey(seed)
+
+        if params is not None:
+            self.params = params
+        elif checkpoint_path is not None:
+            self.params = self._load_checkpoint(checkpoint_path)
+        else:
+            self.params = self._random_init()
+
+        # jit caches
+        self._encode_fns: Dict[int, callable] = {}
+        self._decode_fns: Dict[Tuple[int, int], callable] = {}
+
+    # ------------------------------------------------------------------
+    def _random_init(self) -> dict:
+        """Initialize parameters eagerly on CPU (no XLA compile of the full
+        inference graph just to create weights — compiling it on the target
+        backend costs minutes), then ship to the default device."""
+        x = jnp.zeros((1, 8), dtype=jnp.int32)
+        rng = jax.random.PRNGKey(0)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = self.model.init(
+                {"params": rng, "noise": rng},
+                x,
+                jnp.array([8]),
+                jnp.array([0]) if self.model.n_speakers > 0 else None,
+                method=self.model.infer,
+                max_len=16,
+            )
+        return jax.device_put(variables, jax.devices()[0])
+
+    def _load_checkpoint(self, path: str) -> dict:
+        template = self._random_init()
+        if path.endswith(".pth"):
+            from personalized_text_to_speech_tpu.utils import torch_compat as tc
+
+            state, _ = tc.load_torch_state_dict(path)
+            return tc.torch_to_flax(state, template)
+        from personalized_text_to_speech_tpu.utils import checkpoint as ckpt
+
+        return ckpt.restore_params(path, template)
+
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # ------------------------------------------------------------------
+    # text handling
+    # ------------------------------------------------------------------
+    def text_to_ids(self, text: str, language: Optional[str] = None) -> List[int]:
+        mark = LANGUAGE_MARKS.get(language, "") if language else None
+        if mark:
+            text = mark + text + mark
+        elif mark is None and "[" not in text:
+            text = auto_tag(text)
+        seq = text_frontend.text_to_sequence(text, self.symbols, self.cleaners)
+        if self.add_blank:
+            seq = text_frontend.intersperse(seq, 0)
+        return seq
+
+    def speaker_id(self, speaker) -> int:
+        if isinstance(speaker, str):
+            if speaker not in self.speakers:
+                raise KeyError(
+                    f"unknown speaker {speaker!r}; have {list(self.speakers)[:8]}"
+                )
+            return self.speakers[speaker]
+        return int(speaker)
+
+    # ------------------------------------------------------------------
+    # compiled stages
+    # ------------------------------------------------------------------
+    def _encode_fn(self, t_bucket: int):
+        if t_bucket not in self._encode_fns:
+            model = self.model
+
+            @jax.jit
+            def run(params, x, x_lengths, sid, length_scale, noise_scale_w, rng):
+                dp_noise = jax.random.normal(
+                    rng, (x.shape[0], x.shape[1], 2), dtype=jnp.float32
+                )
+                w_ceil, m_p, logs_p, x_mask = model.apply(
+                    params,
+                    x,
+                    x_lengths,
+                    sid,
+                    length_scale,
+                    noise_scale_w,
+                    dp_noise,
+                    method=model.infer_encode,
+                )
+                # max frame count computed in-graph: one scalar D2H fetch
+                # instead of several eager dispatches
+                n_frames = jnp.max(jnp.sum(w_ceil, axis=-1)).astype(jnp.int32)
+                return w_ceil, m_p, logs_p, x_mask, n_frames
+
+            self._encode_fns[t_bucket] = run
+        return self._encode_fns[t_bucket]
+
+    def _decode_fn(self, t_bucket: int, f_bucket: int):
+        key = (t_bucket, f_bucket)
+        if key not in self._decode_fns:
+            model = self.model
+
+            @functools.partial(jax.jit, static_argnames=("max_len",))
+            def run(params, w_ceil, m_p, logs_p, x_mask, sid, noise_scale, rng,
+                    max_len):
+                prior_noise = jax.random.normal(
+                    rng,
+                    (m_p.shape[0], max_len, m_p.shape[-1]),
+                    dtype=jnp.float32,
+                )
+                return model.apply(
+                    params,
+                    w_ceil,
+                    m_p,
+                    logs_p,
+                    x_mask,
+                    sid,
+                    noise_scale,
+                    max_len,
+                    prior_noise,
+                    method=model.infer_decode,
+                )
+
+            self._decode_fns[key] = functools.partial(run, max_len=f_bucket)
+        return self._decode_fns[key]
+
+    # ------------------------------------------------------------------
+    # synthesis
+    # ------------------------------------------------------------------
+    def synthesize_ids(
+        self,
+        id_seqs: Sequence[Sequence[int]],
+        speaker_ids: Sequence[int],
+        noise_scale: float = 0.667,
+        noise_scale_w: float = 0.8,
+        length_scale: float = 1.0,
+        rng: Optional[jax.Array] = None,
+    ) -> List[np.ndarray]:
+        """Batched synthesis of pre-tokenized sequences → list of wavs."""
+        if rng is None:
+            rng = self._next_rng()
+        b = len(id_seqs)
+        lengths = [len(s) for s in id_seqs]
+        t_bucket = _next_bucket(max(lengths), self.text_buckets)
+        x = np.zeros((b, t_bucket), dtype=np.int32)
+        for i, s in enumerate(id_seqs):
+            x[i, : len(s)] = s
+        x_lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        sid = jnp.asarray([int(s) for s in speaker_ids], dtype=jnp.int32)
+
+        enc_rng, dec_rng = jax.random.split(rng)
+        # scalars go in as arrays so changing speed/noise does NOT retrace
+        w_ceil, m_p, logs_p, x_mask, n_frames_dev = self._encode_fn(t_bucket)(
+            self.params, jnp.asarray(x), x_lengths, sid,
+            jnp.float32(length_scale), jnp.float32(noise_scale_w), enc_rng,
+        )
+        n_frames = int(n_frames_dev)
+        f_bucket = _next_bucket(max(n_frames, 1), self.frame_buckets)
+        wav, y_lengths = self._decode_fn(t_bucket, f_bucket)(
+            self.params, w_ceil, m_p, logs_p, x_mask, sid,
+            jnp.float32(noise_scale), dec_rng,
+        )
+        wav = np.asarray(jax.device_get(wav), dtype=np.float32)
+        y_lengths = np.asarray(y_lengths)
+        return [
+            wav[i, : int(y_lengths[i]) * self.hop_length] for i in range(b)
+        ]
+
+    def tts(
+        self,
+        text: str,
+        speaker=0,
+        language: Optional[str] = None,
+        speed: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_scale_w: float = 0.8,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[int, np.ndarray]:
+        """Single-utterance API, Gradio-parity semantics
+        (reference ``VC_inference.py:39-51``)."""
+        ids = self.text_to_ids(text, language)
+        wavs = self.synthesize_ids(
+            [ids],
+            [self.speaker_id(speaker)],
+            noise_scale=noise_scale,
+            noise_scale_w=noise_scale_w,
+            length_scale=1.0 / speed,
+            rng=rng,
+        )
+        return self.sampling_rate, wavs[0]
+
+    def split_sentences(self, text: str) -> List[str]:
+        parts = [p.strip() for p in _SENTENCE_SPLIT.split(text)]
+        return [p for p in parts if p]
+
+    def long_form(
+        self,
+        text: str,
+        speaker=0,
+        language: Optional[str] = None,
+        speed: float = 1.0,
+        pause_ms: float = 120.0,
+        **kwargs,
+    ) -> Tuple[int, np.ndarray]:
+        """Long-form synthesis: sentence split → one bucketed batch →
+        concatenate with inter-sentence pauses."""
+        sentences = self.split_sentences(text) or [text]
+        sid = self.speaker_id(speaker)
+        id_seqs = [self.text_to_ids(s, language) for s in sentences]
+        wavs = self.synthesize_ids(
+            id_seqs,
+            [sid] * len(id_seqs),
+            length_scale=1.0 / speed,
+            **kwargs,
+        )
+        pause = np.zeros(int(self.sampling_rate * pause_ms / 1000.0), np.float32)
+        pieces: List[np.ndarray] = []
+        for i, w in enumerate(wavs):
+            pieces.append(w)
+            if i != len(wavs) - 1:
+                pieces.append(pause)
+        return self.sampling_rate, np.concatenate(pieces)
+
+    # ------------------------------------------------------------------
+    def warmup(self, text_bucket: Optional[int] = None) -> float:
+        """Trigger compilation for a representative bucket; returns seconds."""
+        t0 = time.perf_counter()
+        self.tts("Warm up.", speaker=0, language="English")
+        return time.perf_counter() - t0

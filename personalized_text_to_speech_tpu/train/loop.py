@@ -1,0 +1,275 @@
+"""The training loop: fine-tuning driver with logging, eval, checkpointing.
+
+Counterpart of the reference trainer (reference ``finetune_speaker_v2.py:46-310``)
+on the TPU runtime: single process, device mesh data-parallelism, one fused
+jitted GAN step, on-device DSP, Orbax full-state checkpoints (the reference
+loses optimizer state on resume), optional import of reference ``G_0.pth`` /
+``D_0.pth`` pretrained weights, TensorBoard scalars/plots/eval audio.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from personalized_text_to_speech_tpu.config import HParams, save_hparams
+from personalized_text_to_speech_tpu.data.dataset import (
+    BucketBatcher,
+    DatasetConfig,
+    TextAudioSpeakerDataset,
+)
+from personalized_text_to_speech_tpu.models.discriminator import (
+    MultiPeriodDiscriminator,
+)
+from personalized_text_to_speech_tpu.models.synthesizer import SynthesizerTrn
+from personalized_text_to_speech_tpu.ops.spectrogram import (
+    MelConfig,
+    linear_spectrogram,
+    spec_to_mel,
+)
+from personalized_text_to_speech_tpu.parallel import create_mesh, shard_batch
+from personalized_text_to_speech_tpu.train.state import create_train_state
+from personalized_text_to_speech_tpu.train.step import Batch, make_train_step
+from personalized_text_to_speech_tpu.utils import checkpoint as ckpt
+from personalized_text_to_speech_tpu.utils import logging_utils
+
+
+class Trainer:
+    def __init__(
+        self,
+        hps: HParams,
+        model_dir: str,
+        pretrained_g: Optional[str] = None,
+        pretrained_d: Optional[str] = None,
+        use_mesh: bool = True,
+    ):
+        self.hps = hps
+        self.model_dir = model_dir
+        os.makedirs(model_dir, exist_ok=True)
+        save_hparams(hps, os.path.join(model_dir, "config.json"))
+        self.logger = logging_utils.get_logger(model_dir)
+        self.writer = logging_utils.SummaryWriter(model_dir)
+        self.writer_eval = logging_utils.SummaryWriter(
+            os.path.join(model_dir, "eval")
+        )
+        self.mel_cfg = MelConfig.from_hparams(hps)
+
+        dtype = (
+            jnp.bfloat16
+            if hps.train.get("bf16_run", hps.train.get("fp16_run", False))
+            else jnp.float32
+        )
+        self.g_model = SynthesizerTrn.from_hparams(hps, dtype=dtype)
+        self.d_model = MultiPeriodDiscriminator(dtype=dtype)
+
+        self.mesh = create_mesh(dict(hps.tpu.mesh.items())) if use_mesh else None
+
+        # data ---------------------------------------------------------
+        ds_cfg = DatasetConfig.from_hparams(hps)
+        self.train_set = TextAudioSpeakerDataset(
+            hps.data.training_files, ds_cfg, hps.symbols, seed=hps.train.seed
+        )
+        self.batcher = BucketBatcher(
+            self.train_set,
+            hps.train.batch_size,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
+            seed=hps.train.seed,
+        )
+        self.eval_set = (
+            TextAudioSpeakerDataset(
+                hps.data.validation_files, ds_cfg, hps.symbols, seed=hps.train.seed
+            )
+            if os.path.exists(hps.data.validation_files)
+            else None
+        )
+        steps_per_epoch = max(len(self.batcher), 1)
+
+        # params -------------------------------------------------------
+        rng = jax.random.PRNGKey(hps.train.seed)
+        cpu = jax.local_devices(backend="cpu")[0]
+        tt, ts = 16, 64
+        with jax.default_device(cpu):
+            g_vars = self.g_model.init(
+                {"params": rng, "noise": rng, "slice": rng, "dropout": rng},
+                jnp.ones((1, tt), jnp.int32),
+                jnp.array([tt]),
+                jnp.zeros((1, ts, hps.data.filter_length // 2 + 1)),
+                jnp.array([ts]),
+                jnp.array([0]),
+            )
+            wav0 = jnp.zeros((1, hps.train.segment_size))
+            d_vars = self.d_model.init(jax.random.PRNGKey(0), wav0, wav0)
+        g_params, d_params = g_vars["params"], d_vars["params"]
+
+        if pretrained_g:
+            from personalized_text_to_speech_tpu.utils import torch_compat as tc
+
+            state, _ = tc.load_torch_state_dict(pretrained_g)
+            g_params = tc.torch_to_flax(state, {"params": g_params})["params"]
+            self.logger.info("loaded pretrained G from %s", pretrained_g)
+        if pretrained_d:
+            from personalized_text_to_speech_tpu.utils import torch_compat as tc
+
+            state, _ = tc.load_torch_state_dict(pretrained_d)
+            d_params = tc.torch_to_flax(state, {"params": d_params})["params"]
+            self.logger.info("loaded pretrained D from %s", pretrained_d)
+
+        self.g_state = create_train_state(
+            self.g_model.apply, g_params, hps, steps_per_epoch
+        )
+        self.d_state = create_train_state(
+            self.d_model.apply, d_params, hps, steps_per_epoch
+        )
+        if self.mesh is not None:
+            from personalized_text_to_speech_tpu.parallel.mesh import replicated
+
+            repl = replicated(self.mesh)
+            self.g_state = jax.device_put(self.g_state, repl)
+            self.d_state = jax.device_put(self.d_state, repl)
+
+        self.step_fn = jax.jit(
+            make_train_step(self.g_model, self.d_model, hps),
+            donate_argnums=(0, 1),
+        )
+        self.global_step = 0
+        self.epoch = 1
+        self.rng = jax.random.PRNGKey(hps.train.seed + 17)
+
+    # ------------------------------------------------------------------
+    def resume(self) -> bool:
+        ckpt_dir = os.path.join(self.model_dir, "checkpoints")
+        step = ckpt.latest_step(ckpt_dir)
+        if step is None:
+            return False
+        self.g_state, self.d_state, self.global_step = ckpt.restore_train_state(
+            ckpt_dir, self.g_state, self.d_state
+        )
+        steps_per_epoch = max(len(self.batcher), 1)
+        self.epoch = self.global_step // steps_per_epoch + 1
+        self.logger.info("resumed at step %d (epoch %d)", self.global_step, self.epoch)
+        return True
+
+    def save(self) -> None:
+        ckpt.save_train_state(
+            os.path.join(self.model_dir, "checkpoints"),
+            self.global_step,
+            self.g_state,
+            self.d_state,
+            preserved=int(self.hps.get("preserved", 4)),
+        )
+
+    def export_reference_checkpoint(self) -> None:
+        """Also emit reference-format G_latest.pth for ecosystem interop."""
+        from personalized_text_to_speech_tpu.utils import torch_compat as tc
+
+        tc.save_torch_checkpoint(
+            {"params": jax.device_get(self.g_state.params)},
+            os.path.join(self.model_dir, "G_latest.pth"),
+            iteration=self.epoch,
+            learning_rate=self.hps.train.learning_rate,
+        )
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> None:
+        hps = self.hps
+        self.batcher.set_epoch(self.epoch)
+        t_step = time.perf_counter()
+        for batch_np in self.batcher:
+            batch = Batch(
+                text=batch_np["text"],
+                text_lengths=batch_np["text_lengths"],
+                wav=batch_np["wav"],
+                wav_lengths=batch_np["wav_lengths"],
+                sid=batch_np["sid"],
+            )
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.g_state, self.d_state, metrics = self.step_fn(
+                self.g_state, self.d_state, batch, step_rng
+            )
+
+            if self.global_step % hps.train.log_interval == 0:
+                metrics = jax.device_get(metrics)
+                dt = time.perf_counter() - t_step
+                self.logger.info(
+                    "epoch %d step %d loss_g=%.3f loss_d=%.3f (%.2fs/step)",
+                    self.epoch,
+                    self.global_step,
+                    metrics["loss/g/total"],
+                    metrics["loss/d/total"],
+                    dt,
+                )
+                self.writer.summarize(
+                    self.global_step,
+                    scalars={
+                        **{k: float(v) for k, v in metrics.items()},
+                        "learning_rate": float(
+                            hps.train.learning_rate
+                            * (hps.train.lr_decay ** (self.epoch - 1))
+                        ),
+                    },
+                )
+            if (
+                self.global_step % hps.train.eval_interval == 0
+                and self.global_step > 0
+            ):
+                self.evaluate()
+                self.save()
+            self.global_step += 1
+            t_step = time.perf_counter()
+
+    def evaluate(self) -> None:
+        """Synthesize one validation utterance to TensorBoard
+        (reference ``finetune_speaker_v2.py:313-368``)."""
+        source = self.eval_set or self.train_set
+        if len(source) == 0:
+            return
+        item = source[0]
+        x = jnp.asarray(item["text"])[None]
+        x_lengths = jnp.array([x.shape[1]])
+        sid = jnp.array([item["sid"]])
+        wav, y_len, attn, _ = self.g_model.apply(
+            {"params": self.g_state.params},
+            x,
+            x_lengths,
+            sid,
+            method=self.g_model.infer,
+            max_len=1000,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        wav_np = np.asarray(jax.device_get(wav))[0]
+        n = int(y_len[0]) * self.hps.data.hop_length
+        mel = spec_to_mel(
+            linear_spectrogram(jnp.asarray(wav_np[None, :max(n, 256)]), self.mel_cfg),
+            self.mel_cfg,
+        )
+        images = {
+            "gen/mel": logging_utils.plot_spectrogram_to_numpy(
+                np.asarray(mel)[0].T
+            ),
+            "gen/attn": logging_utils.plot_alignment_to_numpy(
+                np.asarray(attn)[0]
+            ),
+        }
+        self.writer_eval.summarize(
+            self.global_step,
+            images=images,
+            audios={"gen/audio": wav_np[:n]},
+            audio_sampling_rate=self.hps.data.sampling_rate,
+        )
+
+    # ------------------------------------------------------------------
+    def fit(self, max_epochs: int) -> None:
+        while self.epoch <= min(max_epochs, self.hps.train.epochs):
+            self.train_epoch()
+            self.logger.info("====> Epoch: %d", self.epoch)
+            self.epoch += 1
+        self.save()
+        self.export_reference_checkpoint()

@@ -1,0 +1,52 @@
+"""Runtime setup helpers: persistent compilation cache and device warmup.
+
+On this class of TPU attach (tunneled single chip), two one-time costs
+dominate cold starts and must be managed explicitly:
+
+* XLA compilation of the big synthesizer graphs takes minutes — the
+  persistent compilation cache makes every later process start cheap,
+* the FIRST device→host transfer pays a large channel-setup cost (measured
+  ~minutes on the tunnel); a tiny warmup readback at startup absorbs it so
+  it never lands inside a timed or user-facing call.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache",
+)
+
+
+def enable_compilation_cache(cache_dir: str = None) -> str:
+    """Turn on the persistent compilation cache (idempotent)."""
+    cache_dir = cache_dir or os.environ.get(
+        "PTTS_JAX_CACHE_DIR", DEFAULT_CACHE_DIR
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir
+
+
+def warmup_transfers() -> float:
+    """Force one device round-trip; returns seconds spent (first call on a
+    fresh attach can be very slow — by design we pay it here)."""
+    t0 = time.perf_counter()
+    x = jnp.zeros((8, 128))
+    _ = jax.device_get(x + 1.0)
+    return time.perf_counter() - t0
+
+
+def setup(cache: bool = True, warmup: bool = True) -> None:
+    if cache:
+        enable_compilation_cache()
+    if warmup:
+        warmup_transfers()

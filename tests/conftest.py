@@ -7,7 +7,11 @@ sharding/collective correctness.  Must be set before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin registers itself from sitecustomize whenever
+# PALLAS_AXON_POOL_IPS is set and then force-overrides JAX_PLATFORMS —
+# clear it so tests really run on the virtual CPU mesh.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +21,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compilation cache: the model-graph compiles dominate suite
+# runtime on this 1-core host; cache them across pytest invocations
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

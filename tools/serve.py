@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Web TTS serving — parity with the reference Gradio app (``VC_inference.py``).
+
+With ``gradio`` installed, launches the same Blocks UI (textbox, speaker
+dropdown from the config's speaker map, language dropdown, speed slider
+0.1–5, reference ``VC_inference.py:77-99``).  Without it, falls back to a
+dependency-free HTTP JSON API on the standard library:
+
+    POST /tts   {"text": ..., "speaker": ..., "language": ..., "speed": ...}
+      → audio/wav bytes
+    GET  /speakers → JSON speaker map
+    GET  /healthz  → ok
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_engine(args):
+    from personalized_text_to_speech_tpu.config import load_hparams
+    from personalized_text_to_speech_tpu.infer import TTSEngine
+    from personalized_text_to_speech_tpu.utils import runtime
+
+    runtime.enable_compilation_cache()
+    hps = load_hparams(args.config_dir)
+    return TTSEngine(
+        hps,
+        checkpoint_path=None if args.random_init else args.model_dir,
+        dtype=args.dtype,
+    )
+
+
+def wav_bytes(sr, wav) -> bytes:
+    import numpy as np
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    pcm = (np.clip(wav, -1, 1) * 32767.0).astype(np.int16)
+    wavfile.write(buf, sr, pcm)
+    return buf.getvalue()
+
+
+def serve_gradio(eng, args):
+    import gradio as gr
+
+    speakers = list(eng.speakers.keys()) or ["0"]
+    langs = ["English", "Chinese", "Japanese", "Mix"]
+
+    def tts_fn(text, speaker, language, speed):
+        sr, wav = eng.tts(
+            text, speaker=speaker if eng.speakers else 0,
+            language=None if language == "Mix" else language, speed=speed,
+            noise_scale=0.667, noise_scale_w=0.8,
+        )
+        return "Success", (sr, wav)
+
+    app = gr.Blocks()
+    with app:
+        gr.Markdown("# Personalized Text-to-Speech (TPU)")
+        with gr.Tab("Text-to-Speech"):
+            with gr.Row():
+                with gr.Column():
+                    textbox = gr.TextArea(
+                        label="Text",
+                        placeholder="Type your sentence here",
+                        value="Hello, this is a test of my custom voice.",
+                    )
+                    char_dropdown = gr.Dropdown(
+                        choices=speakers, value=speakers[0], label="character"
+                    )
+                    language_dropdown = gr.Dropdown(
+                        choices=langs, value=langs[0], label="language"
+                    )
+                    duration_slider = gr.Slider(
+                        minimum=0.1, maximum=5, value=1, step=0.1, label="Speed"
+                    )
+                with gr.Column():
+                    text_output = gr.Textbox(label="Message")
+                    audio_output = gr.Audio(label="Output Audio")
+                    btn = gr.Button("Generate!", variant="primary")
+                    btn.click(
+                        tts_fn,
+                        inputs=[textbox, char_dropdown, language_dropdown,
+                                duration_slider],
+                        outputs=[text_output, audio_output],
+                    )
+    app.launch(share=args.share, server_port=args.port)
+
+
+def serve_http(eng, args):
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/speakers":
+                self._send(200, json.dumps(eng.speakers).encode())
+            else:
+                self._send(404, b"{}")
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self._send(404, b"{}")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                text = req["text"]
+                speaker = req.get("speaker", 0)
+                language = req.get("language", None)
+                speed = float(req.get("speed", 1.0))
+                long_form = bool(req.get("long_form", False))
+                fn = eng.long_form if long_form else eng.tts
+                sr, wav = fn(text, speaker=speaker, language=language, speed=speed)
+                self._send(200, wav_bytes(sr, wav), "audio/wav")
+            except Exception as e:  # surface the error to the client
+                self._send(
+                    400, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
+                )
+
+    server = HTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"HTTP TTS API on :{args.port}  (POST /tts, GET /speakers)")
+    server.serve_forever()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", default="./G_latest.pth")
+    parser.add_argument("--config_dir", default="./finetune_speaker.json")
+    parser.add_argument("--share", default=False, action="store_true")
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--http", action="store_true",
+                        help="force the stdlib HTTP API even if gradio exists")
+    args = parser.parse_args()
+
+    eng = build_engine(args)
+    if not args.http:
+        try:
+            serve_gradio(eng, args)
+            return
+        except ImportError:
+            print("gradio not installed — falling back to HTTP JSON API")
+    serve_http(eng, args)
+
+
+if __name__ == "__main__":
+    main()
