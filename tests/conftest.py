@@ -7,18 +7,23 @@ sharding/collective correctness.  Must be set before jax initializes.
 
 import os
 
-# The axon TPU plugin registers itself from sitecustomize whenever
-# PALLAS_AXON_POOL_IPS is set and then force-overrides JAX_PLATFORMS —
-# clear it so tests really run on the virtual CPU mesh.
+# The axon TPU plugin registers itself from sitecustomize at interpreter
+# startup (before pytest/conftest run) and force-selects the tunneled TPU.
+# Re-point JAX at an 8-device virtual CPU mesh and drop the already-built
+# backends so the selection takes effect.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+try:
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+except Exception:
+    pass
 
 jax.config.update("jax_default_matmul_precision", "highest")
 

@@ -1,0 +1,199 @@
+"""TTSEngine + dataset pipeline tests on a tiny config (CPU-fast)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from personalized_text_to_speech_tpu.config import load_hparams_from_dict
+from personalized_text_to_speech_tpu.data.audio import load_wav, save_wav
+from personalized_text_to_speech_tpu.data.dataset import (
+    BucketBatcher,
+    DatasetConfig,
+    TextAudioSpeakerDataset,
+)
+from personalized_text_to_speech_tpu.infer.engine import TTSEngine, _next_bucket
+
+
+def tiny_engine_hps():
+    return load_hparams_from_dict(
+        {
+            "train": {"segment_size": 2048, "learning_rate": 2e-4,
+                      "betas": [0.8, 0.99], "eps": 1e-9, "batch_size": 2,
+                      "seed": 1, "epochs": 1, "lr_decay": 1.0,
+                      "log_interval": 1, "eval_interval": 10,
+                      "c_mel": 45, "c_kl": 1.0},
+            "data": {
+                "sampling_rate": 8000,
+                "filter_length": 256,
+                "hop_length": 64,
+                "win_length": 256,
+                "n_mel_channels": 20,
+                "mel_fmin": 0.0,
+                "mel_fmax": None,
+                "add_blank": True,
+                "n_speakers": 4,
+                "text_cleaners": ["cjke_cleaners2"],
+                "cleaned_text": True,
+                "max_wav_value": 32768.0,
+                "training_files": "",
+                "validation_files": "",
+            },
+            "model": {
+                "inter_channels": 8,
+                "hidden_channels": 8,
+                "filter_channels": 16,
+                "n_heads": 2,
+                "n_layers": 1,
+                "kernel_size": 3,
+                "p_dropout": 0.1,
+                "resblock": "2",
+                "resblock_kernel_sizes": [3],
+                "resblock_dilation_sizes": [[1, 3]],
+                "upsample_rates": [8, 8],
+                "upsample_initial_channel": 16,
+                "upsample_kernel_sizes": [16, 16],
+                "use_spectral_norm": False,
+                "gin_channels": 6,
+            },
+            "symbols": None,  # replaced below
+            "speakers": {"alice": 0, "bob": 1},
+            "tpu": {"text_buckets": [16, 32, 64], "frame_buckets": [32, 64, 128]},
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from personalized_text_to_speech_tpu.text.symbols import SYMBOLS
+
+    hps = tiny_engine_hps()
+    hps["symbols"] = list(SYMBOLS)
+    return TTSEngine(hps, dtype="float32")
+
+
+class TestBuckets:
+    def test_next_bucket(self):
+        assert _next_bucket(3, [16, 32]) == 16
+        assert _next_bucket(17, [16, 32]) == 32
+        assert _next_bucket(99, [16, 32]) == 32  # clamps to largest
+
+
+class TestEngine:
+    def test_tts_end_to_end(self, engine):
+        sr, wav = engine.tts("Hi there.", speaker="alice", language="English")
+        assert sr == 8000
+        assert wav.ndim == 1 and len(wav) > 0
+        assert len(wav) % engine.hop_length == 0
+        assert np.isfinite(wav).all()
+
+    def test_speaker_by_id_and_name(self, engine):
+        assert engine.speaker_id("bob") == 1
+        assert engine.speaker_id(3) == 3
+        with pytest.raises(KeyError):
+            engine.speaker_id("nobody")
+
+    def test_bucket_reuse_no_recompile(self, engine):
+        # identical request → same buckets → jit cache hit (no new entries)
+        k = jax.random.PRNGKey(3)
+        engine.tts("One two.", speaker=0, language="English", rng=k)
+        n_before = len(engine._encode_fns), len(engine._decode_fns)
+        engine.tts("One two.", speaker=1, language="English", rng=k)
+        assert (len(engine._encode_fns), len(engine._decode_fns)) == n_before
+
+    def test_batch_synthesis(self, engine):
+        ids = [engine.text_to_ids("Hello.", "English"),
+               engine.text_to_ids("Bye bye now.", "English")]
+        wavs = engine.synthesize_ids(ids, [0, 1])
+        assert len(wavs) == 2
+        assert all(np.isfinite(w).all() for w in wavs)
+
+    def test_long_form(self, engine):
+        sr, wav = engine.long_form(
+            "First bit. Second bit! Third?", speaker="alice", language="English"
+        )
+        assert len(wav) > 0
+
+    def test_rng_determinism(self, engine):
+        k = jax.random.PRNGKey(7)
+        _, a = engine.tts("Same words.", speaker=0, language="English", rng=k)
+        _, b = engine.tts("Same words.", speaker=0, language="English", rng=k)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestDataset:
+    @pytest.fixture()
+    def filelist(self, tmp_path):
+        sr = 8000
+        rng = np.random.default_rng(0)
+        lines = []
+        for i in range(6):
+            n = int(sr * rng.uniform(0.3, 0.9))
+            wav = (0.3 * np.sin(np.linspace(0, 200, n))).astype(np.float32)
+            p = tmp_path / f"a{i}.wav"
+            save_wav(str(p), wav, sr)
+            lines.append(f"{p}|{i % 2}|ab ko→ no↓ da.")
+        fl = tmp_path / "filelist.txt"
+        fl.write_text("\n".join(lines), encoding="utf-8")
+        return str(fl)
+
+    def test_dataset_and_batcher(self, filelist):
+        cfg = DatasetConfig(sampling_rate=8000, hop_length=64)
+        from personalized_text_to_speech_tpu.text.symbols import SYMBOLS
+
+        ds = TextAudioSpeakerDataset(filelist, cfg, SYMBOLS)
+        assert len(ds) == 6
+        item = ds[0]
+        assert item["text"].dtype == np.int32
+        assert item["text"][0] == 0  # interspersed blank
+        assert item["wav"].dtype == np.float32
+
+        batcher = BucketBatcher(
+            ds, batch_size=2, boundaries=(2, 50, 100, 200),
+            text_pad_to=(16, 32), shard_index=0, shard_count=1,
+        )
+        batches = list(batcher)
+        assert len(batches) == len(batcher)
+        for b in batches:
+            assert b["text"].shape[0] == 2
+            assert b["wav"].shape[1] % 64 == 0
+            # static bucket shapes
+            assert b["wav"].shape[1] // 64 in (50, 100, 200)
+            assert (b["wav_lengths"] % 64 == 0).all()
+            assert (b["wav_lengths"] <= b["wav"].shape[1]).all()
+
+    def test_sharding_partitions(self, filelist):
+        cfg = DatasetConfig(sampling_rate=8000, hop_length=64)
+        from personalized_text_to_speech_tpu.text.symbols import SYMBOLS
+
+        ds = TextAudioSpeakerDataset(filelist, cfg, SYMBOLS)
+        b0 = BucketBatcher(ds, 1, boundaries=(2, 200), shard_index=0,
+                           shard_count=2)
+        b1 = BucketBatcher(ds, 1, boundaries=(2, 200), shard_index=1,
+                           shard_count=2)
+        n0, n1 = len(b0), len(b1)
+        assert n0 == n1  # equal batch counts per shard
+
+    def test_epoch_reshuffle(self, filelist):
+        cfg = DatasetConfig(sampling_rate=8000, hop_length=64)
+        from personalized_text_to_speech_tpu.text.symbols import SYMBOLS
+
+        ds = TextAudioSpeakerDataset(filelist, cfg, SYMBOLS)
+        b = BucketBatcher(ds, 2, boundaries=(2, 200))
+        b.set_epoch(0)
+        e0 = [idx for _, idx in b.batch_indices()]
+        b.set_epoch(1)
+        e1 = [idx for _, idx in b.batch_indices()]
+        assert e0 != e1
+
+
+class TestAudioIO:
+    def test_wav_roundtrip(self, tmp_path):
+        sr = 8000
+        wav = (0.5 * np.sin(np.linspace(0, 100, 4000))).astype(np.float32)
+        p = str(tmp_path / "x.wav")
+        save_wav(p, wav, sr)
+        back, sr2 = load_wav(p)
+        assert sr2 == sr
+        assert np.abs(back[0] - wav).max() < 1e-3  # 16-bit quantization
