@@ -54,6 +54,17 @@ def _next_bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _as_key(rng) -> jax.Array:
+    """Accept a typed PRNG key, a raw uint32[2] key, or a scalar seed
+    (trace-time branch — each form is its own jit specialization)."""
+    arr = jnp.asarray(rng)
+    if jnp.issubdtype(arr.dtype, jax.dtypes.prng_key):
+        return rng
+    if arr.ndim >= 1 and arr.shape[-1] == 2:
+        return rng  # raw key data works with jax.random fns directly
+    return jax.random.PRNGKey(arr)
+
+
 class TTSEngine:
     """Checkpoint + config → a callable synthesizer with jit caching."""
 
@@ -80,7 +91,8 @@ class TTSEngine:
         self.model = SynthesizerTrn.from_hparams(
             hps, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         )
-        self._rng = jax.random.PRNGKey(seed)
+        self._seed = seed
+        self._call_counter = 0
 
         if params is not None:
             self.params = params
@@ -123,9 +135,11 @@ class TTSEngine:
 
         return ckpt.restore_params(path, template)
 
-    def _next_rng(self) -> jax.Array:
-        self._rng, sub = jax.random.split(self._rng)
-        return sub
+    def _next_rng(self) -> np.uint32:
+        """Per-call seed as a host scalar — the PRNG key is built in-graph
+        (a host-side jax.random.split would be an eager device op)."""
+        self._call_counter += 1
+        return np.uint32((self._seed * 1000003 + self._call_counter) % (2 ** 31))
 
     # ------------------------------------------------------------------
     # text handling
@@ -159,6 +173,10 @@ class TTSEngine:
 
             @jax.jit
             def run(params, x, x_lengths, sid, length_scale, noise_scale_w, rng):
+                # rng derivation happens in-graph: eager ops on a tunneled
+                # attach cost ~20ms each, so the host path stays pure numpy
+                rng = _as_key(rng)
+                rng = jax.random.fold_in(rng, 0)
                 dp_noise = jax.random.normal(
                     rng, (x.shape[0], x.shape[1], 2), dtype=jnp.float32
                 )
@@ -188,6 +206,8 @@ class TTSEngine:
             @functools.partial(jax.jit, static_argnames=("max_len",))
             def run(params, w_ceil, m_p, logs_p, x_mask, sid, noise_scale, rng,
                     max_len):
+                rng = _as_key(rng)
+                rng = jax.random.fold_in(rng, 1)
                 prior_noise = jax.random.normal(
                     rng,
                     (m_p.shape[0], max_len, m_p.shape[-1]),
@@ -230,20 +250,22 @@ class TTSEngine:
         x = np.zeros((b, t_bucket), dtype=np.int32)
         for i, s in enumerate(id_seqs):
             x[i, : len(s)] = s
-        x_lengths = jnp.asarray(lengths, dtype=jnp.int32)
-        sid = jnp.asarray([int(s) for s in speaker_ids], dtype=jnp.int32)
+        # host side stays pure numpy: all transfers ride the jit call (each
+        # separate eager dispatch costs ~20ms on a tunneled attach); rngs are
+        # derived in-graph via fold_in, scalars go in as np arrays so
+        # changing speed/noise never retraces
+        x_lengths = np.asarray(lengths, dtype=np.int32)
+        sid = np.asarray([int(s) for s in speaker_ids], dtype=np.int32)
 
-        enc_rng, dec_rng = jax.random.split(rng)
-        # scalars go in as arrays so changing speed/noise does NOT retrace
         w_ceil, m_p, logs_p, x_mask, n_frames_dev = self._encode_fn(t_bucket)(
-            self.params, jnp.asarray(x), x_lengths, sid,
-            jnp.float32(length_scale), jnp.float32(noise_scale_w), enc_rng,
+            self.params, x, x_lengths, sid,
+            np.float32(length_scale), np.float32(noise_scale_w), rng,
         )
         n_frames = int(n_frames_dev)
         f_bucket = _next_bucket(max(n_frames, 1), self.frame_buckets)
         wav, y_lengths = self._decode_fn(t_bucket, f_bucket)(
             self.params, w_ceil, m_p, logs_p, x_mask, sid,
-            jnp.float32(noise_scale), dec_rng,
+            np.float32(noise_scale), rng,
         )
         wav = np.asarray(jax.device_get(wav), dtype=np.float32)
         y_lengths = np.asarray(y_lengths)

@@ -160,10 +160,22 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, g: Optional[jnp.ndarray] = None
+        self,
+        x: jnp.ndarray,
+        g: Optional[jnp.ndarray] = None,
+        x_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """x: [B, T, C] latent frames; x_mask: optional [B, T, 1].
+
+        With a mask, activations are re-zeroed beyond each utterance's
+        boundary after every conv stage, so a padded static canvas produces
+        bit-identical audio to running each utterance at its exact length
+        (conv zero-padding at the true boundary) — required for batched
+        bucketed serving.
+        """
         num_kernels = len(self.resblock_kernel_sizes)
         block_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+        mask = x_mask
         x = Conv1d(
             self.upsample_initial_channel, 7, padding=3, dtype=self.dtype,
             name="conv_pre",
@@ -172,6 +184,8 @@ class Generator(nn.Module):
             x = x + Conv1d(
                 self.upsample_initial_channel, 1, dtype=self.dtype, name="cond"
             )(g)
+        if mask is not None:
+            x = x * mask
         for i, (u, k) in enumerate(
             zip(self.upsample_rates, self.upsample_kernel_sizes)
         ):
@@ -187,6 +201,9 @@ class Generator(nn.Module):
                 dtype=self.dtype,
                 name=f"ups_{i}",
             )(x)
+            if mask is not None:
+                mask = jnp.repeat(mask, u, axis=1)
+                x = x * mask
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
@@ -194,14 +211,17 @@ class Generator(nn.Module):
                 block = block_cls(
                     ch, rk, tuple(rd), dtype=self.dtype,
                     name=f"resblocks_{i * num_kernels + j}",
-                )(x)
+                )(x, mask)
                 xs = block if xs is None else xs + block
             x = xs / num_kernels
         x = nn.leaky_relu(x)  # default slope 0.01 (torch F.leaky_relu default)
         x = Conv1d(
             1, 7, padding=3, use_bias=False, dtype=self.dtype, name="conv_post"
         )(x)
-        return jnp.tanh(x)
+        x = jnp.tanh(x)
+        if mask is not None:
+            x = x * mask
+        return x
 
 
 class SynthesizerTrn(nn.Module):
@@ -475,7 +495,7 @@ class SynthesizerTrn(nn.Module):
             * noise_scale
         )
         z = self.flow(z_p, y_mask, g=g, reverse=True)
-        o = self.dec(z * y_mask, g=g)[..., 0]  # [B, S*hop]
+        o = self.dec(z * y_mask, g=g, x_mask=y_mask)[..., 0]  # [B, S*hop]
         hop = o.shape[1] // max_len
         sample_mask = sequence_mask(y_lengths * hop, o.shape[1])
         return o * sample_mask, y_lengths, attn, y_mask
@@ -548,7 +568,7 @@ class SynthesizerTrn(nn.Module):
             * noise_scale
         )
         z = self.flow(z_p, y_mask, g=g, reverse=True)
-        o = self.dec(z * y_mask, g=g)[..., 0]
+        o = self.dec(z * y_mask, g=g, x_mask=y_mask)[..., 0]
         hop = o.shape[1] // max_len
         sample_mask = sequence_mask(y_lengths * hop, o.shape[1])
         return o * sample_mask, y_lengths
@@ -570,5 +590,5 @@ class SynthesizerTrn(nn.Module):
         z, m_q, logs_q, y_mask = self.enc_q(y, y_lengths, g=g_src, noise=noise)
         z_p = self.flow(z, y_mask, g=g_src)
         z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True)
-        o_hat = self.dec(z_hat * y_mask, g=g_tgt)[..., 0]
+        o_hat = self.dec(z_hat * y_mask, g=g_tgt, x_mask=y_mask)[..., 0]
         return o_hat, y_mask, (z, z_p, z_hat)
