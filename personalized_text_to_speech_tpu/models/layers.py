@@ -98,7 +98,6 @@ class Conv1d(nn.Module):
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             fan_in = self.kernel_size * in_ch // self.groups
@@ -165,7 +164,6 @@ class ConvTranspose1d(nn.Module):
             padding=[(pad, pad)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             fan_in = self.kernel_size * in_ch
@@ -232,7 +230,6 @@ class Conv2d(nn.Module):
             window_strides=self.strides,
             padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             fan_in = kh * kw * in_ch

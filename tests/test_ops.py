@@ -278,3 +278,27 @@ class TestNativeMAS:
             got = native.maximum_path_native(neg, tl, sl)
             want = maximum_path_numpy(neg, tl, sl)
             np.testing.assert_array_equal(got, want)
+
+
+class TestPallasMAS:
+    def test_interpret_matches_oracle(self):
+        from personalized_text_to_speech_tpu.ops.mas_pallas import (
+            maximum_path_pallas,
+        )
+
+        for seed in range(3):
+            rng = np.random.default_rng(seed)
+            b, t_y, t_x = 4, 37, 11
+            neg = rng.normal(size=(b, t_y, t_x)).astype(np.float32)
+            sl = rng.integers(t_x, t_y + 1, size=b).astype(np.int32)
+            tl = np.minimum(rng.integers(2, t_x + 1, size=b), sl).astype(
+                np.int32
+            )
+            got = np.asarray(
+                maximum_path_pallas(
+                    jnp.asarray(neg), jnp.asarray(tl), jnp.asarray(sl),
+                    interpret=True,
+                )
+            )
+            want = maximum_path_numpy(neg, tl, sl)
+            np.testing.assert_array_equal(got, want)
