@@ -147,6 +147,68 @@ class MultiHeadAttention(nn.Module):
         )(output.astype(self.dtype))
 
 
+class Decoder(nn.Module):
+    """Causal self-attention + encoder-decoder cross-attention stack.
+
+    API-parity module: the reference defines this decoder but never
+    instantiates it (reference ``attentions.py:50-98``, noted dead in
+    SURVEY §2); provided complete here for downstream use.
+    """
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int = 1
+    p_dropout: float = 0.0
+    proximal_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        x_mask: jnp.ndarray,
+        h: jnp.ndarray,
+        h_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        t = x.shape[1]
+        causal = jnp.tril(jnp.ones((t, t), dtype=jnp.float32))
+        self_attn_mask = causal[None, None]  # [1, 1, T, T]
+        encdec_mask = (h_mask[:, None, :] * x_mask[:, :, None])[:, None]
+        x = x * x_mask[..., None]
+        for i in range(self.n_layers):
+            y = MultiHeadAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                p_dropout=self.p_dropout, proximal_bias=self.proximal_bias,
+                dtype=self.dtype, name=f"self_attn_layers_{i}",
+            )(x, x, self_attn_mask, deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(
+                self.hidden_channels, dtype=self.dtype, name=f"norm_layers_0_{i}"
+            )(x + y)
+            y = MultiHeadAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                p_dropout=self.p_dropout, dtype=self.dtype,
+                name=f"encdec_attn_layers_{i}",
+            )(x, h, encdec_mask, deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(
+                self.hidden_channels, dtype=self.dtype, name=f"norm_layers_1_{i}"
+            )(x + y)
+            y = FFN(
+                self.hidden_channels, self.filter_channels, self.kernel_size,
+                p_dropout=self.p_dropout, causal=True, dtype=self.dtype,
+                name=f"ffn_layers_{i}",
+            )(x, x_mask[..., None], deterministic=deterministic)
+            y = nn.Dropout(self.p_dropout)(y, deterministic=deterministic)
+            x = LayerNorm(
+                self.hidden_channels, dtype=self.dtype, name=f"norm_layers_2_{i}"
+            )(x + y)
+        return x * x_mask[..., None]
+
+
 class Encoder(nn.Module):
     """Rel-pos transformer encoder with post-LN residuals
     (reference ``attentions.py:13-47``)."""

@@ -190,4 +190,12 @@ def _use_pallas() -> bool:
         return False
     if impl == "pallas":
         return True
+    # honor an active jax.default_device(cpu) scope (e.g. eager CPU param
+    # init) — compiled Pallas cannot lower for the CPU backend
+    try:
+        dev = jax.config.jax_default_device
+        if dev is not None and getattr(dev, "platform", None) == "cpu":
+            return False
+    except Exception:
+        pass
     return jax.default_backend() not in ("cpu",)

@@ -47,12 +47,16 @@ class Trainer:
         pretrained_g: Optional[str] = None,
         pretrained_d: Optional[str] = None,
         use_mesh: bool = True,
+        drop_speaker_embed: bool = False,
     ):
         self.hps = hps
         self.model_dir = model_dir
         os.makedirs(model_dir, exist_ok=True)
         save_hparams(hps, os.path.join(model_dir, "config.json"))
         self.logger = logging_utils.get_logger(model_dir)
+        from personalized_text_to_speech_tpu.utils.profiling import check_git_hash
+
+        check_git_hash(model_dir)
         self.writer = logging_utils.SummaryWriter(model_dir)
         self.writer_eval = logging_utils.SummaryWriter(
             os.path.join(model_dir, "eval")
@@ -111,7 +115,10 @@ class Trainer:
             from personalized_text_to_speech_tpu.utils import torch_compat as tc
 
             state, _ = tc.load_torch_state_dict(pretrained_g)
-            g_params = tc.torch_to_flax(state, {"params": g_params})["params"]
+            g_params = tc.torch_to_flax(
+                state, {"params": g_params},
+                drop_speaker_embed=drop_speaker_embed,
+            )["params"]
             self.logger.info("loaded pretrained G from %s", pretrained_g)
         if pretrained_d:
             from personalized_text_to_speech_tpu.utils import torch_compat as tc

@@ -157,6 +157,7 @@ def torch_to_flax(
     state_dict: Dict[str, np.ndarray],
     params_template: Dict[str, Any],
     strict: bool = False,
+    drop_speaker_embed: bool = False,
 ) -> Dict[str, Any]:
     """Map a torch state dict onto a flax ``{'params': ...}`` tree.
 
@@ -173,6 +174,11 @@ def torch_to_flax(
     for parts, template in flat.items():
         key = _module_path_to_torch(parts)
         template_np = np.asarray(template)
+        if drop_speaker_embed and key == "emb_g.weight":
+            # keep fresh speaker rows (reference --drop_speaker_embed,
+            # utils.py:163-166)
+            new_flat[parts] = template
+            continue
         if key not in state_dict:
             msg = f"{key} is not in the checkpoint"
             if strict:

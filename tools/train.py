@@ -112,6 +112,7 @@ def main():
         if use_pretrained and os.path.exists(args.pretrained_d)
         else None,
         use_mesh=not args.no_mesh,
+        drop_speaker_embed=args.drop_speaker_embed,
     )
     if args.cont:
         trainer.resume()
