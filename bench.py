@@ -68,15 +68,24 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # warmup: compiles/loads encode+decode for the buckets involved
-    eng.synthesize_ids(id_seqs, sids, rng=key)
-    eng.synthesize_ids(id_seqs, sids, rng=key)
+    eng.synthesize_ids(id_seqs, sids, rng=key, pcm16=True)
+    eng.synthesize_ids(id_seqs, sids, rng=key, pcm16=True)
 
-    # throughput: batched synthesis
+    # throughput: pipelined batched synthesis — submit batch i+1 before
+    # fetching batch i so the D2H transfer overlaps the next compute;
+    # int16 PCM on device quarters the transfer
     t0 = time.perf_counter()
     total_audio = 0.0
-    for _ in range(reps):
-        wavs = eng.synthesize_ids(id_seqs, sids, rng=key)
+    pending = eng.submit_ids(id_seqs, sids, rng=key, pcm16=True)
+    for i in range(reps):
+        nxt = (
+            eng.submit_ids(id_seqs, sids, rng=key, pcm16=True)
+            if i + 1 < reps
+            else None
+        )
+        wavs = eng.collect(pending, eng.hop_length, dtype=np.int16)
         total_audio += sum(len(w) for w in wavs) / eng.sampling_rate
+        pending = nxt
     wall = time.perf_counter() - t0
     inv_rtf = total_audio / wall
 

@@ -203,9 +203,11 @@ class TTSEngine:
         if key not in self._decode_fns:
             model = self.model
 
-            @functools.partial(jax.jit, static_argnames=("max_len",))
+            @functools.partial(
+                jax.jit, static_argnames=("max_len", "pcm16")
+            )
             def run(params, w_ceil, m_p, logs_p, x_mask, sid, noise_scale, rng,
-                    max_len):
+                    max_len, pcm16):
                 rng = _as_key(rng)
                 rng = jax.random.fold_in(rng, 1)
                 prior_noise = jax.random.normal(
@@ -213,7 +215,7 @@ class TTSEngine:
                     (m_p.shape[0], max_len, m_p.shape[-1]),
                     dtype=jnp.float32,
                 )
-                return model.apply(
+                wav, y_lengths = model.apply(
                     params,
                     w_ceil,
                     m_p,
@@ -225,6 +227,12 @@ class TTSEngine:
                     prior_noise,
                     method=model.infer_decode,
                 )
+                if pcm16:
+                    # 16-bit PCM quantization on device: 4× smaller D2H
+                    # transfer, and the host skips the float→int pass
+                    wav = jnp.clip(wav, -1.0, 1.0)
+                    wav = (wav * 32767.0).astype(jnp.int16)
+                return wav, y_lengths
 
             self._decode_fns[key] = functools.partial(run, max_len=f_bucket)
         return self._decode_fns[key]
@@ -232,7 +240,7 @@ class TTSEngine:
     # ------------------------------------------------------------------
     # synthesis
     # ------------------------------------------------------------------
-    def synthesize_ids(
+    def submit_ids(
         self,
         id_seqs: Sequence[Sequence[int]],
         speaker_ids: Sequence[int],
@@ -240,8 +248,10 @@ class TTSEngine:
         noise_scale_w: float = 0.8,
         length_scale: float = 1.0,
         rng: Optional[jax.Array] = None,
-    ) -> List[np.ndarray]:
-        """Batched synthesis of pre-tokenized sequences → list of wavs."""
+        pcm16: bool = False,
+    ):
+        """Dispatch a batch and return device futures ``(wav, y_lengths)``
+        without blocking — lets callers pipeline synthesis against fetch."""
         if rng is None:
             rng = self._next_rng()
         b = len(id_seqs)
@@ -261,17 +271,44 @@ class TTSEngine:
             self.params, x, x_lengths, sid,
             np.float32(length_scale), np.float32(noise_scale_w), rng,
         )
-        n_frames = int(n_frames_dev)
+        n_frames = int(n_frames_dev)  # one scalar sync picks the bucket
         f_bucket = _next_bucket(max(n_frames, 1), self.frame_buckets)
-        wav, y_lengths = self._decode_fn(t_bucket, f_bucket)(
+        return self._decode_fn(t_bucket, f_bucket)(
             self.params, w_ceil, m_p, logs_p, x_mask, sid,
-            np.float32(noise_scale), rng,
+            np.float32(noise_scale), rng, pcm16=pcm16,
         )
-        wav = np.asarray(jax.device_get(wav), dtype=np.float32)
-        y_lengths = np.asarray(y_lengths)
+
+    @staticmethod
+    def collect(handle, hop_length: int, dtype=np.float32) -> List[np.ndarray]:
+        """Fetch a ``submit_ids`` result → list of true-length wavs."""
+        wav_dev, y_len_dev = handle
+        wav = np.asarray(jax.device_get(wav_dev))
+        if wav.dtype == np.int16 and dtype == np.float32:
+            wav = wav.astype(np.float32) / 32767.0
+        y_lengths = np.asarray(y_len_dev)
         return [
-            wav[i, : int(y_lengths[i]) * self.hop_length] for i in range(b)
+            wav[i, : int(y_lengths[i]) * hop_length]
+            for i in range(wav.shape[0])
         ]
+
+    def synthesize_ids(
+        self,
+        id_seqs: Sequence[Sequence[int]],
+        speaker_ids: Sequence[int],
+        noise_scale: float = 0.667,
+        noise_scale_w: float = 0.8,
+        length_scale: float = 1.0,
+        rng: Optional[jax.Array] = None,
+        pcm16: bool = False,
+    ) -> List[np.ndarray]:
+        """Batched synthesis of pre-tokenized sequences → list of wavs."""
+        handle = self.submit_ids(
+            id_seqs, speaker_ids,
+            noise_scale=noise_scale, noise_scale_w=noise_scale_w,
+            length_scale=length_scale, rng=rng, pcm16=pcm16,
+        )
+        out_dtype = np.int16 if pcm16 else np.float32
+        return self.collect(handle, self.hop_length, dtype=out_dtype)
 
     def tts(
         self,

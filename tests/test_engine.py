@@ -197,3 +197,24 @@ class TestAudioIO:
         back, sr2 = load_wav(p)
         assert sr2 == sr
         assert np.abs(back[0] - wav).max() < 1e-3  # 16-bit quantization
+
+
+class TestAsyncAndPcm:
+    def test_submit_collect_pipeline(self, engine):
+        ids = [engine.text_to_ids("Hello.", "English")]
+        h1 = engine.submit_ids(ids, [0], rng=jax.random.PRNGKey(1))
+        h2 = engine.submit_ids(ids, [1], rng=jax.random.PRNGKey(2))
+        w1 = engine.collect(h1, engine.hop_length)
+        w2 = engine.collect(h2, engine.hop_length)
+        assert len(w1) == 1 and len(w2) == 1
+        assert w1[0].dtype == np.float32
+
+    def test_pcm16_matches_float(self, engine):
+        ids = [engine.text_to_ids("Quantize me.", "English")]
+        k = jax.random.PRNGKey(5)
+        wav_f = engine.synthesize_ids(ids, [0], rng=k)[0]
+        wav_q = engine.synthesize_ids(ids, [0], rng=k, pcm16=True)[0]
+        assert wav_q.dtype == np.int16
+        assert len(wav_q) == len(wav_f)
+        err = np.abs(wav_q.astype(np.float32) / 32767.0 - wav_f).max()
+        assert err < 2.0 / 32767.0  # quantization-level agreement

@@ -75,6 +75,8 @@ def main():
     parser.add_argument("--no-mesh", action="store_true")
     parser.add_argument("--smoke", action="store_true",
                         help="short synthetic-data end-to-end run")
+    parser.add_argument("--smoke-epochs", type=int, default=1,
+                        help="epochs for --smoke (raise to watch convergence)")
     args = parser.parse_args()
 
     from personalized_text_to_speech_tpu.config import (
@@ -94,7 +96,7 @@ def main():
         hps.model.upsample_initial_channel = 128
         hps.model.n_layers = 2
         make_smoke_dataset(os.path.join(args.model, "smoke_data"), hps)
-        args.max_epochs = 1
+        args.max_epochs = args.smoke_epochs
     else:
         hps = load_hparams(args.config)
 
