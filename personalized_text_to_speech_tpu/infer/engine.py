@@ -144,13 +144,28 @@ class TTSEngine:
     # ------------------------------------------------------------------
     # text handling
     # ------------------------------------------------------------------
-    def text_to_ids(self, text: str, language: Optional[str] = None) -> List[int]:
-        mark = LANGUAGE_MARKS.get(language, "") if language else None
-        if mark:
-            text = mark + text + mark
-        elif mark is None and "[" not in text:
-            text = auto_tag(text)
-        seq = text_frontend.text_to_sequence(text, self.symbols, self.cleaners)
+    def text_to_ids(
+        self,
+        text: str,
+        language: Optional[str] = None,
+        is_symbol: bool = False,
+    ) -> List[int]:
+        """Tag + clean + map text to IDs.  ``is_symbol=True`` treats the
+        input as already-cleaned IPA and skips the G2P cleaners (the
+        reference's ``get_text(..., is_symbol)`` path,
+        ``VC_inference.py:31-36``)."""
+        if is_symbol:
+            seq = text_frontend.cleaned_text_to_sequence(text, self.symbols)
+        else:
+            mark = LANGUAGE_MARKS.get(language) if language else None
+            if mark:
+                text = mark + text + mark
+            elif mark is None and "[" not in text:
+                # no/unknown language → detect per script run
+                text = auto_tag(text)
+            seq = text_frontend.text_to_sequence(
+                text, self.symbols, self.cleaners
+            )
         if self.add_blank:
             seq = text_frontend.intersperse(seq, 0)
         return seq
@@ -255,6 +270,10 @@ class TTSEngine:
         if rng is None:
             rng = self._next_rng()
         b = len(id_seqs)
+        # sequences beyond the largest text bucket are truncated (long-form
+        # input should go through `long_form`, which sentence-splits first)
+        cap = self.text_buckets[-1]
+        id_seqs = [list(s)[:cap] for s in id_seqs]
         lengths = [len(s) for s in id_seqs]
         t_bucket = _next_bucket(max(lengths), self.text_buckets)
         x = np.zeros((b, t_bucket), dtype=np.int32)

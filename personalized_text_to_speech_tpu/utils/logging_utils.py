@@ -91,10 +91,26 @@ class SummaryWriter:
             for k, v in (images or {}).items():
                 self._tb.add_image(k, v, global_step, dataformats="HWC")
             for k, v in (audios or {}).items():
-                self._tb.add_audio(
-                    k, np.asarray(v).reshape(-1, 1), global_step,
-                    sample_rate=audio_sampling_rate,
-                )
+                try:
+                    self._tb.add_audio(
+                        k, np.asarray(v).reshape(-1, 1), global_step,
+                        sample_rate=audio_sampling_rate,
+                    )
+                except Exception:
+                    # tensorboardX's audio encoder needs soundfile; fall
+                    # back to dropping a plain wav next to the event files
+                    from personalized_text_to_speech_tpu.data.audio import (
+                        save_wav,
+                    )
+
+                    safe = k.replace("/", "_")
+                    save_wav(
+                        os.path.join(
+                            self.log_dir, f"{safe}_{global_step}.wav"
+                        ),
+                        np.asarray(v).reshape(-1),
+                        audio_sampling_rate,
+                    )
         else:
             import json
 

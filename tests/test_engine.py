@@ -218,3 +218,25 @@ class TestAsyncAndPcm:
         assert len(wav_q) == len(wav_f)
         err = np.abs(wav_q.astype(np.float32) / 32767.0 - wav_f).max()
         assert err < 2.0 / 32767.0  # quantization-level agreement
+
+
+class TestRobustness:
+    def test_overlong_text_truncates(self, engine):
+        # beyond the largest text bucket → truncated, not crashed
+        long_ids = list(range(1, 60)) * 4  # 236 ids > bucket cap 64
+        wavs = engine.synthesize_ids([long_ids], [0])
+        assert len(wavs) == 1 and len(wavs[0]) > 0
+
+    def test_unknown_language_autotags(self, engine):
+        ids = engine.text_to_ids("bonjour monde", language="French")
+        assert len(ids) > 0
+
+    def test_is_symbol_skips_cleaners(self, engine):
+        raw = "ni→xɑʊ↓"
+        ids = engine.text_to_ids(raw, is_symbol=True)
+        from personalized_text_to_speech_tpu.text import (
+            cleaned_text_to_sequence,
+            intersperse,
+        )
+        want = intersperse(cleaned_text_to_sequence(raw, engine.symbols), 0)
+        assert ids == want

@@ -37,6 +37,8 @@ def main():
     parser.add_argument("--random-init", action="store_true",
                         help="run with random weights (no checkpoint needed)")
     parser.add_argument("--long-form", action="store_true")
+    parser.add_argument("--cleaned-text", action="store_true",
+                        help="input is already IPA symbols; skip G2P")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=1234)
@@ -62,7 +64,15 @@ def main():
     speaker = args.spk if args.spk is not None else 0
 
     lang = None if args.language == "Mix" else args.language
-    if args.long_form:
+    if args.cleaned_text:
+        ids = eng.text_to_ids(args.text, is_symbol=True)
+        wav = eng.synthesize_ids(
+            [ids], [eng.speaker_id(speaker)],
+            noise_scale=args.noise_scale, noise_scale_w=args.noise_scale_w,
+            length_scale=args.length_scale,
+        )[0]
+        sr = eng.sampling_rate
+    elif args.long_form:
         sr, wav = eng.long_form(
             args.text, speaker=speaker, language=lang,
             speed=1.0 / args.length_scale,
