@@ -194,6 +194,37 @@ class BucketBatcher:
             rng.shuffle(batches)
         return batches
 
+    def iter_prefetch(self, depth: int = 2) -> Iterator[dict]:
+        """Iterate with a background prefetch thread so wav decoding and
+        batch padding overlap the device step (the reference used
+        DataLoader worker processes for the same purpose,
+        ``finetune_speaker_v2.py:82``)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for batch in self:
+                    q.put(batch)
+            except Exception as e:  # propagate into the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        if err:
+            raise err[0]
+
     def __iter__(self) -> Iterator[dict]:
         hop = self.dataset.cfg.hop_length
         for bucket_idx, idxs in self.batch_indices():

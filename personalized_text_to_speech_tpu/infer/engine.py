@@ -108,19 +108,22 @@ class TTSEngine:
     # ------------------------------------------------------------------
     def _random_init(self) -> dict:
         """Initialize parameters eagerly on CPU (no XLA compile of the full
-        inference graph just to create weights — compiling it on the target
-        backend costs minutes), then ship to the default device."""
-        x = jnp.zeros((1, 8), dtype=jnp.int32)
+        graph just to create weights — compiling on the target backend costs
+        minutes), then ship to the default device.  Uses the TRAINING graph
+        so every submodule materializes (the inference path alone would skip
+        enc_q and the SDP posterior flows, breaking checkpoint loading and
+        voice conversion)."""
         rng = jax.random.PRNGKey(0)
         cpu = jax.devices("cpu")[0]
+        ts = max(self.model.segment_size + 1, 16)
         with jax.default_device(cpu):
             variables = self.model.init(
-                {"params": rng, "noise": rng},
-                x,
+                {"params": rng, "noise": rng, "slice": rng, "dropout": rng},
+                jnp.zeros((1, 8), dtype=jnp.int32),
                 jnp.array([8]),
+                jnp.zeros((1, ts, self.model.spec_channels)),
+                jnp.array([ts]),
                 jnp.array([0]) if self.model.n_speakers > 0 else None,
-                method=self.model.infer,
-                max_len=16,
             )
         return jax.device_put(variables, jax.devices()[0])
 
@@ -383,6 +386,61 @@ class TTSEngine:
             if i != len(wavs) - 1:
                 pieces.append(pause)
         return self.sampling_rate, np.concatenate(pieces)
+
+    # ------------------------------------------------------------------
+    # voice conversion (reference models.py:525-533 — API the reference
+    # defines but never wires into its UI; exposed here end-to-end)
+    # ------------------------------------------------------------------
+    def _vc_fn(self, f_bucket: int):
+        key = ("vc", f_bucket)
+        if key not in self._decode_fns:
+            model = self.model
+            from personalized_text_to_speech_tpu.ops.spectrogram import (
+                MelConfig,
+                linear_spectrogram,
+            )
+
+            mel_cfg = MelConfig.from_hparams(self.hps)
+
+            @jax.jit
+            def run(params, wav, wav_len, sid_src, sid_tgt, rng):
+                rng = _as_key(rng)
+                spec = linear_spectrogram(wav, mel_cfg)
+                spec_len = (wav_len // mel_cfg.hop_length).astype(jnp.int32)
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, 2), spec.shape[:2] + (model.inter_channels,)
+                )
+                o, y_mask, _ = model.apply(
+                    params, spec, spec_len, sid_src, sid_tgt,
+                    method=model.voice_conversion, noise=noise,
+                )
+                return o, spec_len
+
+            self._decode_fns[key] = run
+        return self._decode_fns[key]
+
+    def voice_conversion(
+        self, wav: np.ndarray, speaker_src, speaker_tgt,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[int, np.ndarray]:
+        """Convert a waveform from one known speaker's voice to another's
+        (posterior-encode with the source embedding, flow round-trip,
+        decode with the target embedding)."""
+        if rng is None:
+            rng = self._next_rng()
+        hop = self.hop_length
+        n = (len(wav) // hop) * hop
+        f_bucket = _next_bucket(max(n // hop, 1), self.frame_buckets)
+        padded = np.zeros((1, f_bucket * hop), dtype=np.float32)
+        padded[0, :n] = wav[:n]
+        o, spec_len = self._vc_fn(f_bucket)(
+            self.params, padded, np.asarray([n], np.int32),
+            np.asarray([self.speaker_id(speaker_src)], np.int32),
+            np.asarray([self.speaker_id(speaker_tgt)], np.int32),
+            rng,
+        )
+        out = np.asarray(jax.device_get(o), dtype=np.float32)[0]
+        return self.sampling_rate, out[: int(spec_len[0]) * hop]
 
     # ------------------------------------------------------------------
     def warmup(self, text_bucket: Optional[int] = None) -> float:

@@ -187,7 +187,7 @@ class Trainer:
         hps = self.hps
         self.batcher.set_epoch(self.epoch)
         t_step = time.perf_counter()
-        for batch_np in self.batcher:
+        for batch_np in self.batcher.iter_prefetch():
             batch = Batch(
                 text=batch_np["text"],
                 text_lengths=batch_np["text_lengths"],

@@ -240,3 +240,38 @@ class TestRobustness:
         )
         want = intersperse(cleaned_text_to_sequence(raw, engine.symbols), 0)
         assert ids == want
+
+
+class TestVoiceConversion:
+    def test_vc_end_to_end(self, engine):
+        rng = np.random.default_rng(0)
+        wav = (0.3 * np.sin(np.linspace(0, 300, 8000))).astype(np.float32)
+        sr, out = engine.voice_conversion(wav, "alice", "bob")
+        assert sr == 8000
+        assert len(out) > 0
+        assert np.isfinite(out).all()
+
+
+class TestPrefetch:
+    def test_iter_prefetch_matches_sync(self, tmp_path):
+        from personalized_text_to_speech_tpu.text.symbols import SYMBOLS
+        from personalized_text_to_speech_tpu.data.dataset import (
+            BucketBatcher, DatasetConfig, TextAudioSpeakerDataset,
+        )
+
+        sr = 8000
+        lines = []
+        for i in range(4):
+            w = (0.2 * np.sin(np.linspace(0, 100, sr // 2))).astype(np.float32)
+            p = tmp_path / f"p{i}.wav"
+            save_wav(str(p), w, sr)
+            lines.append(f"{p}|0|abc de.")
+        fl = tmp_path / "fl.txt"
+        fl.write_text("\n".join(lines), encoding="utf-8")
+        ds = TextAudioSpeakerDataset(
+            str(fl), DatasetConfig(sampling_rate=sr, hop_length=64), SYMBOLS
+        )
+        b = BucketBatcher(ds, 2, boundaries=(2, 100, 200), shuffle=False)
+        sync = [x["wav"].sum() for x in b]
+        pre = [x["wav"].sum() for x in b.iter_prefetch()]
+        assert sync == pre

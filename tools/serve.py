@@ -115,20 +115,46 @@ def serve_http(eng, args):
                 self._send(404, b"{}")
 
         def do_POST(self):
-            if self.path != "/tts":
-                self._send(404, b"{}")
-                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
-                text = req["text"]
-                speaker = req.get("speaker", 0)
-                language = req.get("language", None)
-                speed = float(req.get("speed", 1.0))
-                long_form = bool(req.get("long_form", False))
-                fn = eng.long_form if long_form else eng.tts
-                sr, wav = fn(text, speaker=speaker, language=language, speed=speed)
-                self._send(200, wav_bytes(sr, wav), "audio/wav")
+                body = self.rfile.read(length)
+                if self.path == "/tts":
+                    req = json.loads(body or b"{}")
+                    text = req["text"]
+                    speaker = req.get("speaker", 0)
+                    language = req.get("language", None)
+                    speed = float(req.get("speed", 1.0))
+                    long_form = bool(req.get("long_form", False))
+                    fn = eng.long_form if long_form else eng.tts
+                    sr, wav = fn(
+                        text, speaker=speaker, language=language, speed=speed
+                    )
+                    self._send(200, wav_bytes(sr, wav), "audio/wav")
+                elif self.path == "/vc":
+                    # voice conversion: wav body, speakers via query-ish JSON
+                    # header X-VC: {"source": ..., "target": ...}
+                    import numpy as np
+                    from scipy.io import wavfile as _wavfile
+
+                    meta = json.loads(self.headers.get("X-VC", "{}"))
+                    sr_in, data = _wavfile.read(io.BytesIO(body))
+                    from personalized_text_to_speech_tpu.data.audio import (
+                        resample,
+                        to_mono,
+                    )
+
+                    wav_in = to_mono(
+                        data.T.astype(np.float32) / 32768.0
+                        if data.dtype == np.int16
+                        else data.T.astype(np.float32)
+                    )
+                    wav_in = resample(wav_in, sr_in, eng.sampling_rate)
+                    sr, wav = eng.voice_conversion(
+                        wav_in, meta.get("source", 0), meta.get("target", 0)
+                    )
+                    self._send(200, wav_bytes(sr, wav), "audio/wav")
+                else:
+                    self._send(404, b"{}")
             except Exception as e:  # surface the error to the client
                 self._send(
                     400, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
