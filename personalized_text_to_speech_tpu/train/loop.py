@@ -274,9 +274,22 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, max_epochs: int) -> None:
-        while self.epoch <= min(max_epochs, self.hps.train.epochs):
-            self.train_epoch()
-            self.logger.info("====> Epoch: %d", self.epoch)
-            self.epoch += 1
+        try:
+            while self.epoch <= min(max_epochs, self.hps.train.epochs):
+                self.train_epoch()
+                self.logger.info("====> Epoch: %d", self.epoch)
+                self.epoch += 1
+        except KeyboardInterrupt:
+            self.logger.warning("interrupted — saving checkpoint before exit")
+            self.save()
+            raise
+        except Exception:
+            # crash-path checkpoint: the reference loses all progress on
+            # failure (bare try/except falls back to G_0.pth,
+            # finetune_speaker_v2.py:102-115); here the full train state is
+            # persisted so --cont resumes exactly where the run died
+            self.logger.exception("training step failed — saving emergency checkpoint")
+            self.save()
+            raise
         self.save()
         self.export_reference_checkpoint()

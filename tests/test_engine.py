@@ -275,3 +275,22 @@ class TestPrefetch:
         sync = [x["wav"].sum() for x in b]
         pre = [x["wav"].sum() for x in b.iter_prefetch()]
         assert sync == pre
+
+
+class TestCheckpointLoading:
+    def test_engine_loads_reference_pth(self, engine, tmp_path):
+        """Save the engine's params as a reference .pth, load it into a new
+        engine, and check identical synthesis output."""
+        from personalized_text_to_speech_tpu.utils import torch_compat as tc
+        from personalized_text_to_speech_tpu.text.symbols import SYMBOLS
+
+        path = str(tmp_path / "G_test.pth")
+        tc.save_torch_checkpoint(jax.device_get(engine.params), path)
+
+        hps = tiny_engine_hps()
+        hps["symbols"] = list(SYMBOLS)
+        eng2 = TTSEngine(hps, checkpoint_path=path, dtype="float32")
+        k = jax.random.PRNGKey(11)
+        _, a = engine.tts("Check weights.", speaker=0, language="English", rng=k)
+        _, b = eng2.tts("Check weights.", speaker=0, language="English", rng=k)
+        np.testing.assert_allclose(a, b, atol=1e-6)

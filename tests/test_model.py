@@ -181,3 +181,34 @@ class TestVoiceConversion:
         )
         assert o.shape == (1, 12 * HOP)
         assert np.isfinite(np.asarray(o)).all()
+
+
+class TestDeterministicDurationPath:
+    def test_use_sdp_false(self):
+        model = tiny_model(use_sdp=False)
+        rng = jax.random.PRNGKey(0)
+        x = jnp.ones((1, 6), dtype=jnp.int32)
+        xl = jnp.array([6])
+        y = jnp.zeros((1, 20, 33))
+        yl = jnp.array([20])
+        sid = jnp.array([0])
+        params = model.init(
+            {"params": rng, "noise": rng, "slice": rng, "dropout": rng},
+            x, xl, y, yl, sid,
+        )
+        out = model.apply(
+            params, x, xl, y, yl, sid,
+            rngs={"noise": rng, "slice": rng, "dropout": rng},
+        )
+        assert np.isfinite(np.asarray(out["l_length"])).all()
+        wav, y_len, _, _ = model.apply(
+            params, x, xl, sid, method=model.infer, max_len=32,
+            rngs={"noise": rng},
+        )
+        assert np.isfinite(np.asarray(wav)).all()
+        # DP key naming matches the reference scheme (conv_1/norm_1 literal)
+        from personalized_text_to_speech_tpu.utils import torch_compat as tc
+        keys = set(tc.flax_to_torch(params).keys())
+        for k in ("dp.conv_1.weight", "dp.norm_1.gamma", "dp.proj.weight",
+                  "dp.cond.weight"):
+            assert k in keys, k
