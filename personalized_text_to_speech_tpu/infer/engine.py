@@ -175,11 +175,13 @@ class TTSEngine:
 
     def speaker_id(self, speaker) -> int:
         if isinstance(speaker, str):
-            if speaker not in self.speakers:
-                raise KeyError(
-                    f"unknown speaker {speaker!r}; have {list(self.speakers)[:8]}"
-                )
-            return self.speakers[speaker]
+            if speaker in self.speakers:
+                return self.speakers[speaker]
+            if speaker.lstrip("-").isdigit():
+                return int(speaker)  # numeric id given as a string (CLI -s 3)
+            raise KeyError(
+                f"unknown speaker {speaker!r}; have {list(self.speakers)[:8]}"
+            )
         return int(speaker)
 
     # ------------------------------------------------------------------

@@ -234,7 +234,7 @@ def save_torch_checkpoint(
     import torch
 
     state = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in flax_to_torch(params).items()
     }
     torch.save(
