@@ -39,7 +39,7 @@ def main():
     runtime.warmup_transfers()
 
     dtype = os.environ.get("PTTS_BENCH_DTYPE", "bfloat16")
-    batch = int(os.environ.get("PTTS_BENCH_BATCH", "16"))
+    batch = int(os.environ.get("PTTS_BENCH_BATCH", "32"))
     reps = int(os.environ.get("PTTS_BENCH_REPS", "5"))
 
     hps = default_model_config(n_speakers=999)

@@ -361,6 +361,33 @@ class TTSEngine:
         parts = [p.strip() for p in _SENTENCE_SPLIT.split(text)]
         return [p for p in parts if p]
 
+    def stream_long_form(
+        self,
+        text: str,
+        speaker=0,
+        language: Optional[str] = None,
+        speed: float = 1.0,
+        **kwargs,
+    ):
+        """Generator yielding ``(sr, wav)`` per sentence as soon as each is
+        ready, pipelining the next sentence's synthesis against the current
+        fetch — streaming playback starts after the first sentence instead
+        of after the whole document."""
+        sentences = self.split_sentences(text) or [text]
+        sid = self.speaker_id(speaker)
+        pending = self.submit_ids(
+            [self.text_to_ids(sentences[0], language)], [sid],
+            length_scale=1.0 / speed, **kwargs,
+        )
+        for nxt in sentences[1:]:
+            nxt_handle = self.submit_ids(
+                [self.text_to_ids(nxt, language)], [sid],
+                length_scale=1.0 / speed, **kwargs,
+            )
+            yield self.sampling_rate, self.collect(pending, self.hop_length)[0]
+            pending = nxt_handle
+        yield self.sampling_rate, self.collect(pending, self.hop_length)[0]
+
     def long_form(
         self,
         text: str,

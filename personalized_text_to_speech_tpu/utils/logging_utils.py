@@ -80,6 +80,7 @@ class SummaryWriter:
         self,
         global_step: int,
         scalars: Optional[Dict[str, float]] = None,
+        histograms: Optional[Dict[str, np.ndarray]] = None,
         images: Optional[Dict[str, np.ndarray]] = None,
         audios: Optional[Dict[str, np.ndarray]] = None,
         audio_sampling_rate: int = 22050,
@@ -88,6 +89,8 @@ class SummaryWriter:
         if self._tb is not None:
             for k, v in scalars.items():
                 self._tb.add_scalar(k, float(v), global_step)
+            for k, v in (histograms or {}).items():
+                self._tb.add_histogram(k, np.asarray(v), global_step)
             for k, v in (images or {}).items():
                 self._tb.add_image(k, v, global_step, dataformats="HWC")
             for k, v in (audios or {}).items():

@@ -50,3 +50,27 @@ def setup(cache: bool = True, warmup: bool = True) -> None:
         enable_compilation_cache()
     if warmup:
         warmup_transfers()
+
+
+def init_distributed(
+    coordinator_address: str = None,
+    num_processes: int = None,
+    process_id: int = None,
+) -> None:
+    """Multi-host rendezvous for pod-slice training.
+
+    TPU-native replacement for the reference's
+    ``dist.init_process_group('nccl', init_method='env://')``
+    (``finetune_speaker_v2.py:69``): on TPU pods ``jax.distributed.initialize``
+    auto-discovers the topology; explicit args cover CPU/GPU fleets.  After
+    this, ``jax.process_index()/process_count()`` drive the bucket-batcher
+    sharding and ``jax.devices()`` spans the whole slice.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

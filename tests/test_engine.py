@@ -294,3 +294,14 @@ class TestCheckpointLoading:
         _, a = engine.tts("Check weights.", speaker=0, language="English", rng=k)
         _, b = eng2.tts("Check weights.", speaker=0, language="English", rng=k)
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestStreaming:
+    def test_stream_long_form_order(self, engine):
+        chunks = list(engine.stream_long_form(
+            "One two. Three four! Five six?", speaker="alice",
+            language="English",
+        ))
+        assert len(chunks) == 3
+        for sr, wav in chunks:
+            assert sr == 8000 and len(wav) > 0
