@@ -299,6 +299,100 @@ _LEXICON = {
     "city": "ˈsɪti", "country": "ˈkəntri", "question": "ˈkwɛsʧən",
     "answer": "ˈænsər", "word": "wərd", "words": "wərdz",
     "sentence": "ˈsɛntəns", "synthesis": "ˈsɪnθəsəs",
+    # high-frequency words, second tranche
+    "been": "bɪn", "than": "ðæn", "now": "naʊ", "also": "ˈɔlsoʊ",
+    "well": "wɛl", "even": "ˈivɪn", "back": "bæk", "us": "əs",
+    "much": "məʧ", "still": "stɪl", "too": "tu", "many": "ˈmɛni",
+    "never": "ˈnɛvər", "really": "ˈrɪli", "always": "ˈɔlˌweɪz",
+    "often": "ˈɔfən", "something": "ˈsəmθɪŋ", "nothing": "ˈnəθɪŋ",
+    "everything": "ˈɛvriθɪŋ", "anything": "ˈɛniˌθɪŋ",
+    "someone": "ˈsəmˌwən", "everyone": "ˈɛvriˌwən", "anyone": "ˈɛniˌwən",
+    "because": "bɪˈkɔz", "before": "bɪˈfɔr", "around": "əˈraʊnd",
+    "another": "əˈnəðər", "together": "təˈgɛðər", "between": "bɪˈtwin",
+    "without": "wɪˈθaʊt", "however": "haʊˈɛvər", "perhaps": "pərˈhæps",
+    "people": "ˈpipəl", "person": "ˈpərsən", "children": "ˈʧɪldrən",
+    "woman": "ˈwʊmən", "women": "ˈwɪmən", "men": "mɛn", "boy": "bɔɪ",
+    "girl": "gərl", "baby": "ˈbeɪbi", "name": "neɪm", "home": "hoʊm",
+    "room": "rum", "door": "dɔr", "window": "ˈwɪndoʊ", "table": "ˈteɪbəl",
+    "chair": "ʧɛr", "bed": "bɛd", "food": "fud", "bread": "brɛd",
+    "milk": "mɪlk", "coffee": "ˈkɔfi", "tea": "ti", "sun": "sən",
+    "moon": "mun", "star": "stɑr", "sky": "skaɪ", "rain": "reɪn",
+    "snow": "snoʊ", "wind": "wɪnd", "tree": "tri", "flower": "ˈflaʊər",
+    "grass": "græs", "bird": "bərd", "fish": "fɪʃ", "horse": "hɔrs",
+    "animal": "ˈænəməl", "river": "ˈrɪvər", "mountain": "ˈmaʊntən",
+    "ocean": "ˈoʊʃən", "sea": "si", "road": "roʊd", "street": "strit",
+    "car": "kɑr", "train": "treɪn", "plane": "pleɪn", "boat": "boʊt",
+    "ship": "ʃɪp", "walk": "wɔk", "run": "rən", "ran": "ræn",
+    "jump": "ʤəmp", "sit": "sɪt", "stand": "stænd", "sleep": "slip",
+    "eat": "it", "drink": "drɪŋk", "open": "ˈoʊpən", "close": "kloʊs",
+    "start": "stɑrt", "stop": "stɑp", "play": "pleɪ", "sing": "sɪŋ",
+    "dance": "dæns", "write": "raɪt", "wrote": "roʊt", "draw": "drɔ",
+    "speak": "spik", "spoke": "spoʊk", "listen": "ˈlɪsən", "hear": "hir",
+    "heard": "hərd", "watch": "wɑʧ", "show": "ʃoʊ", "help": "hɛlp",
+    "learn": "lərn", "teach": "tiʧ", "study": "ˈstədi", "understand":
+    "ˌəndərˈstænd", "remember": "rɪˈmɛmbər", "forget": "fərˈgɛt",
+    "believe": "bɪˈliv", "hope": "hoʊp", "wish": "wɪʃ", "need": "nid",
+    "buy": "baɪ", "bought": "bɑt", "sell": "sɛl", "pay": "peɪ",
+    "money": "ˈməni", "price": "praɪs", "free": "fri", "open": "ˈoʊpən",
+    "happy": "ˈhæpi", "sad": "sæd", "angry": "ˈæŋgri", "afraid": "əˈfreɪd",
+    "tired": "taɪərd", "hungry": "ˈhəŋgri", "warm": "wɔrm", "cold": "koʊld",
+    "hot": "hɑt", "cool": "kul", "fast": "fæst", "slow": "sloʊ",
+    "early": "ˈərli", "late": "leɪt", "soon": "sun", "young": "jəŋ",
+    "easy": "ˈizi", "hard": "hɑrd", "strong": "strɔŋ", "weak": "wik",
+    "rich": "rɪʧ", "poor": "pur", "clean": "klin", "dirty": "ˈdərti",
+    "full": "fʊl", "empty": "ˈɛmpti", "heavy": "ˈhɛvi", "light": "laɪt",
+    "dark": "dɑrk", "deep": "dip", "wide": "waɪd", "narrow": "ˈnɛroʊ",
+    "true": "tru", "false": "fɔls", "real": "ril", "sure": "ʃʊr",
+    "ready": "ˈrɛdi", "busy": "ˈbɪzi", "quiet": "ˈkwaɪət", "loud": "laʊd",
+    "nice": "naɪs", "fine": "faɪn", "best": "bɛst", "better": "ˈbɛtər",
+    "worse": "wərs", "worst": "wərst", "next": "nɛkst", "last": "læst",
+    "few": "fju", "several": "ˈsɛvrəl", "enough": "ɪˈnəf", "less": "lɛs",
+    "least": "list", "own": "oʊn", "whole": "hoʊl", "half": "hæf",
+    "quarter": "ˈkwɔrtər", "minute": "ˈmɪnət", "hour": "ˈaʊər",
+    "second": "ˈsɛkənd", "month": "mənθ", "season": "ˈsizən",
+    "spring": "sprɪŋ", "summer": "ˈsəmər", "autumn": "ˈɔtəm",
+    "winter": "ˈwɪntər", "monday": "ˈmənˌdeɪ", "friday": "ˈfraɪˌdeɪ",
+    "sunday": "ˈsənˌdeɪ", "week": "wik", "weekend": "ˈwiˌkɛnd",
+    "january": "ˈʤænjuˌɛri", "evening": "ˈivnɪŋ", "afternoon": "ˌæftərˈnun",
+    "letter": "ˈlɛtər", "paper": "ˈpeɪpər", "page": "peɪʤ",
+    "picture": "ˈpɪkʧər", "movie": "ˈmuvi", "game": "geɪm",
+    "song": "sɔŋ", "color": "ˈkələr", "red": "rɛd", "blue": "blu",
+    "green": "grin", "yellow": "ˈjɛloʊ", "black": "blæk", "white": "waɪt",
+    "body": "ˈbɑdi", "head": "hɛd", "face": "feɪs", "hair": "hɛr",
+    "mouth": "maʊθ", "ear": "ir", "nose": "noʊz", "arm": "ɑrm",
+    "leg": "lɛg", "foot": "fʊt", "heart": "hɑrt", "mind": "maɪnd",
+    "idea": "aɪˈdiə", "thought": "θɔt", "dream": "drim", "truth": "truθ",
+    "reason": "ˈrizən", "example": "ɪgˈzæmpəl", "kind": "kaɪnd",
+    "type": "taɪp", "group": "grup", "list": "lɪst", "line": "laɪn",
+    "side": "saɪd", "top": "tɑp", "bottom": "ˈbɑtəm", "middle": "ˈmɪdəl",
+    "end": "ɛnd", "front": "frənt", "left": "lɛft", "center": "ˈsɛntər",
+    "north": "nɔrθ", "south": "saʊθ", "east": "ist", "west": "wɛst",
+    "country": "ˈkəntri", "state": "steɪt", "town": "taʊn",
+    "building": "ˈbɪldɪŋ", "office": "ˈɔfəs", "store": "stɔr",
+    "hospital": "ˈhɑˌspɪtəl", "church": "ʧərʧ", "park": "pɑrk",
+    "garden": "ˈgɑrdən", "farm": "fɑrm", "land": "lænd", "ground": "graʊnd",
+    "floor": "flɔr", "wall": "wɔl", "roof": "ruf", "kitchen": "ˈkɪʧən",
+    "teacher": "ˈtiʧər", "student": "ˈstudənt", "doctor": "ˈdɑktər",
+    "friend": "frɛnd", "neighbor": "ˈneɪbər", "family": "ˈfæməli",
+    "brother": "ˈbrəðər", "sister": "ˈsɪstər", "son": "sən",
+    "daughter": "ˈdɔtər", "husband": "ˈhəzbənd", "wife": "waɪf",
+    "job": "ʤɑb", "business": "ˈbɪznəs", "war": "wɔr", "peace": "pis",
+    "law": "lɔ", "rule": "rul", "power": "ˈpaʊər", "change": "ʧeɪnʤ",
+    "history": "ˈhɪstəri", "science": "ˈsaɪəns", "art": "ɑrt",
+    "nature": "ˈneɪʧər", "machine": "məˈʃin", "phone": "foʊn",
+    "television": "ˈtɛləˌvɪʒən", "internet": "ˈɪntərˌnɛt",
+    "information": "ˌɪnfərˈmeɪʃən", "news": "nuz", "question": "ˈkwɛsʧən",
+    "problem": "ˈprɑbləm", "moment": "ˈmoʊmənt", "chance": "ʧæns",
+    "course": "kɔrs", "level": "ˈlɛvəl", "order": "ˈɔrdər",
+    "result": "rɪˈzəlt", "value": "ˈvælju", "number": "ˈnəmbər",
+    "amount": "əˈmaʊnt", "piece": "pis", "pair": "pɛr", "box": "bɑks",
+    "bag": "bæg", "cup": "kəp", "glass": "glæs", "plate": "pleɪt",
+    "knife": "naɪf", "key": "ki", "clock": "klɑk", "map": "mæp",
+    "world": "wərld", "card": "kɑrd", "ball": "bɔl", "gift": "gɪft",
+    "please": "pliz", "maybe": "ˈmeɪbi", "almost": "ˈɔlˌmoʊst",
+    "already": "ɔˈrɛdi", "again": "əˈgɛn", "away": "əˈweɪ",
+    "everywhere": "ˈɛvriˌwɛr", "somewhere": "ˈsəmˌwɛr", "today": "təˈdeɪ",
+    "tonight": "təˈnaɪt", "ago": "əˈgoʊ", "yet": "jɛt", "ever": "ˈɛvər",
 }
 
 # Letter-to-sound rules, tried longest-match-first at each position.

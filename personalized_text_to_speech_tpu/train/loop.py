@@ -265,10 +265,22 @@ class Trainer:
                 np.asarray(attn)[0]
             ),
         }
+        audios = {"gen/audio": wav_np[:n]}
+        if self.global_step == 0:
+            # ground-truth reference at step 0 (finetune_speaker_v2.py:357-359)
+            gt = item["wav"]
+            gt_mel = spec_to_mel(
+                linear_spectrogram(jnp.asarray(gt[None]), self.mel_cfg),
+                self.mel_cfg,
+            )
+            images["gt/mel"] = logging_utils.plot_spectrogram_to_numpy(
+                np.asarray(gt_mel)[0].T
+            )
+            audios["gt/audio"] = gt
         self.writer_eval.summarize(
             self.global_step,
             images=images,
-            audios={"gen/audio": wav_np[:n]},
+            audios=audios,
             audio_sampling_rate=self.hps.data.sampling_rate,
         )
 

@@ -119,9 +119,9 @@ def make_train_step(g_model, d_model, hps):
             )
             return loss_disc, (r_losses, g_losses)
 
-        (loss_disc, _), grads_d = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            d_state.params
-        )
+        (loss_disc, (d_r_losses, d_g_losses)), grads_d = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(d_state.params)
         grad_norm_d = global_norm(grads_d)
         d_state = d_state.apply_gradients(grads=grads_d)
 
@@ -146,7 +146,7 @@ def make_train_step(g_model, d_model, hps):
                 * c_kl
             )
             loss_fm = losses.feature_loss(fmap_r, fmap_g)
-            loss_gen, _ = losses.generator_loss(y_d_g)
+            loss_gen, gen_losses = losses.generator_loss(y_d_g)
             total = loss_gen + loss_fm + loss_mel + loss_dur + loss_kl
             return total, {
                 "loss_gen": loss_gen,
@@ -154,6 +154,7 @@ def make_train_step(g_model, d_model, hps):
                 "loss_mel": loss_mel,
                 "loss_dur": loss_dur,
                 "loss_kl": loss_kl,
+                "gen_losses": gen_losses,
             }
 
         (loss_gen_all, gen_metrics), out_grads = jax.value_and_grad(
@@ -174,6 +175,13 @@ def make_train_step(g_model, d_model, hps):
             "loss/g/dur": gen_metrics["loss_dur"],
             "loss/g/kl": gen_metrics["loss_kl"],
         }
+        # per-discriminator breakdown (reference finetune_speaker_v2.py:246-248)
+        for i, v in enumerate(gen_metrics["gen_losses"]):
+            metrics[f"loss/g/{i}"] = v
+        for i, v in enumerate(d_r_losses):
+            metrics[f"loss/d_r/{i}"] = v
+        for i, v in enumerate(d_g_losses):
+            metrics[f"loss/d_g/{i}"] = v
         return g_state, d_state, metrics
 
     return train_step
