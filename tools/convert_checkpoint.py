@@ -52,11 +52,12 @@ def main():
             )
 
             model = SynthesizerTrn.from_hparams(hps)
+            ts = max(model.segment_size + 1, 16)
             template = model.init(
                 {"params": rng, "noise": rng, "slice": rng, "dropout": rng},
                 jnp.ones((1, 8), jnp.int32), jnp.array([8]),
-                jnp.zeros((1, 16, hps.data.filter_length // 2 + 1)),
-                jnp.array([16]), jnp.array([0]),
+                jnp.zeros((1, ts, hps.data.filter_length // 2 + 1)),
+                jnp.array([ts]), jnp.array([0]),
             )
 
     if args.input.endswith(".pth"):
