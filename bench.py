@@ -39,7 +39,7 @@ def main():
     runtime.warmup_transfers()
 
     dtype = os.environ.get("PTTS_BENCH_DTYPE", "bfloat16")
-    batch = int(os.environ.get("PTTS_BENCH_BATCH", "32"))
+    batch = int(os.environ.get("PTTS_BENCH_BATCH", "64"))
     reps = int(os.environ.get("PTTS_BENCH_REPS", "5"))
 
     hps = default_model_config(n_speakers=999)
@@ -93,11 +93,11 @@ def main():
     lat = []
     single_ids = [id_seqs[0]]
     key1 = jax.random.PRNGKey(1)
-    eng.synthesize_ids(single_ids, [0], rng=key1)  # warm that bucket
-    eng.synthesize_ids(single_ids, [0], rng=key1)
+    eng.synthesize_ids(single_ids, [0], rng=key1, pcm16=True)  # warm bucket
+    eng.synthesize_ids(single_ids, [0], rng=key1, pcm16=True)
     for _ in range(max(reps, 5)):
         t0 = time.perf_counter()
-        eng.synthesize_ids(single_ids, [0], rng=key1)
+        eng.synthesize_ids(single_ids, [0], rng=key1, pcm16=True)
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1000)
 

@@ -220,3 +220,19 @@ class TestCleaners:
         assert cleaners.detect_language("你好") == "ZH"
         assert cleaners.detect_language("こんにちは") == "JA"
         assert cleaners.detect_language("안녕") == "KO"
+
+
+class TestMandarinWithoutJieba:
+    def test_per_char_fallback(self, monkeypatch):
+        from personalized_text_to_speech_tpu.text import mandarin
+
+        monkeypatch.setattr(mandarin, "_jieba", None)
+        out = mandarin.chinese_to_ipa("你好")
+        assert "↓↑" in out  # 3rd-tone arrows still produced per character
+
+    def test_without_pypinyin_uses_builtin_dict(self, monkeypatch):
+        from personalized_text_to_speech_tpu.text import mandarin
+
+        monkeypatch.setattr(mandarin, "_lazy_pinyin", None)
+        out = mandarin.chinese_to_ipa("今天")
+        assert len(out) > 0 and "今" not in out
