@@ -116,7 +116,8 @@ def yin_f0(
     voiced = np.zeros(n_frames, dtype=bool)
     for t in range(n_frames):
         x = y[t * hop : t * hop + frame].astype(np.float64)
-        # difference function via autocorrelation (O(N log N))
+        # difference function via autocorrelation (O(N log N)):
+        # d(τ) = Σ_{j<W-τ} x_j² + Σ_{j≥τ} x_j² − 2·ac(τ)
         w = len(x)
         spec = np.fft.rfft(x, 2 * w)
         ac = np.fft.irfft(spec * np.conj(spec))[:w]
@@ -125,7 +126,9 @@ def yin_f0(
         d = np.empty(tau_max + 1)
         d[0] = 0.0
         taus = np.arange(1, tau_max + 1)
-        d[1:] = (energy - cumsum[taus - 1]) + energy - 2.0 * ac[taus]
+        term_head = cumsum[w - taus - 1]  # Σ_{j=0}^{W-τ-1} x_j²
+        term_tail = energy - cumsum[taus - 1]  # Σ_{j=τ}^{W-1} x_j²
+        d[1:] = term_head + term_tail - 2.0 * ac[taus]
         # CMNDF
         cmndf = np.ones_like(d)
         running = np.cumsum(d[1:])

@@ -114,12 +114,20 @@ class MultiPeriodDiscriminator(nn.Module):
     (reference ``models.py:364-386``)."""
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
-    use_spectral_norm: bool = False  # spectral-norm variant not used by the
-    # reference training config (configs/finetune_speaker.json:50)
+    use_spectral_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        if self.use_spectral_norm:
+            # the reference supports a spectral-norm discriminator variant
+            # (models.py:304) but its production configs never enable it
+            # (configs/finetune_speaker.json:50); fail loudly rather than
+            # silently training a weight-normed one
+            raise NotImplementedError(
+                "use_spectral_norm=True is not implemented; the pretrained "
+                "reference checkpoints all use weight norm"
+            )
         discs = [DiscriminatorS(dtype=self.dtype, name="disc_s")] + [
             DiscriminatorP(p, dtype=self.dtype, name=f"disc_p{p}")
             for p in self.periods

@@ -165,6 +165,21 @@ def korean_to_lazy_ipa(text: str) -> str:
     return _hangul_to_ipa_builtin(text)
 
 
+# narrow-IPA → cjke_cleaners2 vocabulary substitutions, so Korean output maps
+# fully into the shared 68-symbol table (otherwise ʌ/ɕ/tense marks etc. are
+# silently dropped at ID-mapping time and synthesis is garbled)
+_IPA_TO_VOCAB = [
+    ("t͡ɕ", "tʃ"), ("d͡ʑ", "dʑ"), ("tɕ", "tʃ"), ("dʑ", "dʑ"),
+    ("͈", ""), ("͉", ""), ("̚", "#"), ("͡", ""),
+    ("ɕ", "ʃ"), ("ʌ", "ə"), ("ɰ", "ɯ"), ("ɲ", "n^"), ("ɭ", "l"),
+    ("ʎ", "l"), ("ʰ", "ʰ"), ("r", "ɾ"), ("ː", ""),
+]
+
+
 def korean_to_ipa(text: str) -> str:
-    """The cjke_cleaners2 Korean hook."""
-    return korean_to_lazy_ipa(text)
+    """The cjke_cleaners2 Korean hook: lazy IPA folded into the shared
+    symbol vocabulary."""
+    text = korean_to_lazy_ipa(text)
+    for pat, rep in _IPA_TO_VOCAB:
+        text = text.replace(pat, rep)
+    return text

@@ -34,7 +34,10 @@ from personalized_text_to_speech_tpu.ops.spectrogram import (
 )
 from personalized_text_to_speech_tpu.parallel import create_mesh, shard_batch
 from personalized_text_to_speech_tpu.train.state import create_train_state
-from personalized_text_to_speech_tpu.train.step import Batch, make_train_step
+from personalized_text_to_speech_tpu.train.step import (
+    Batch,
+    make_jitted_train_step,
+)
 from personalized_text_to_speech_tpu.utils import checkpoint as ckpt
 from personalized_text_to_speech_tpu.utils import logging_utils
 
@@ -69,7 +72,10 @@ class Trainer:
             else jnp.float32
         )
         self.g_model = SynthesizerTrn.from_hparams(hps, dtype=dtype)
-        self.d_model = MultiPeriodDiscriminator(dtype=dtype)
+        self.d_model = MultiPeriodDiscriminator(
+            use_spectral_norm=hps.model.get("use_spectral_norm", False),
+            dtype=dtype,
+        )
 
         self.mesh = create_mesh(dict(hps.tpu.mesh.items())) if use_mesh else None
 
@@ -140,10 +146,7 @@ class Trainer:
             self.g_state = jax.device_put(self.g_state, repl)
             self.d_state = jax.device_put(self.d_state, repl)
 
-        self.step_fn = jax.jit(
-            make_train_step(self.g_model, self.d_model, hps),
-            donate_argnums=(0, 1),
-        )
+        self.step_fn = make_jitted_train_step(self.g_model, self.d_model, hps)
         self.global_step = 0
         self.epoch = 1
         self.rng = jax.random.PRNGKey(hps.train.seed + 17)
@@ -223,10 +226,9 @@ class Trainer:
                         ),
                     },
                 )
-            if (
-                self.global_step % hps.train.eval_interval == 0
-                and self.global_step > 0
-            ):
+            # the reference evaluates/saves at step 0 too (the gt/mel +
+            # gt/audio references land in that first eval)
+            if self.global_step % hps.train.eval_interval == 0:
                 self.evaluate()
                 self.save()
             self.global_step += 1

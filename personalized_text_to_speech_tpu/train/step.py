@@ -187,9 +187,11 @@ def make_train_step(g_model, d_model, hps):
     return train_step
 
 
-def make_jitted_train_step(g_model, d_model, hps, mesh=None, donate: bool = True):
-    """jit the step; with a mesh, batch inputs arrive sharded over ``data``
-    and params replicated — XLA inserts the gradient psums."""
+def make_jitted_train_step(g_model, d_model, hps, donate: bool = True):
+    """jit the step (donating both train states).  Sharding comes from the
+    ARGUMENT placements: callers device_put the states replicated and the
+    batch sharded over the mesh's ``data`` axis (see ``train.loop.Trainer``),
+    and XLA inserts the gradient all-reduces."""
     step = make_train_step(g_model, d_model, hps)
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)

@@ -218,9 +218,17 @@ def flax_to_torch(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Export our params as a reference-layout torch state dict (numpy)."""
     tree = params["params"] if "params" in params else params
     out = {}
-    for parts, value in flatten_dict(tree).items():
+    flat = flatten_dict(tree)
+    for parts, value in flat.items():
         key = _module_path_to_torch(parts)
-        out[key] = _from_flax_tensor(parts, np.asarray(value))
+        arr = _from_flax_tensor(parts, np.asarray(value))
+        if parts[-1] == "g":
+            # torch weight_g rank tracks the weight rank: [C,1,1] for 1-D
+            # convs, [C,1,1,1] for Conv2d (discriminator P stacks)
+            v = flat.get(parts[:-1] + ("v",))
+            if v is not None and np.asarray(v).ndim == 4:
+                arr = arr.reshape(-1, 1, 1, 1)
+        out[key] = arr
     return out
 
 

@@ -160,3 +160,26 @@ class TestDiscriminatorBridge:
             jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(rebuilt)
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+class TestDiscriminatorTorchLoad:
+    def test_conv2d_weight_g_rank_matches_torch(self):
+        """Exported D params must load into the reference's torch
+        discriminator (Conv2d weight_g is rank 4 there)."""
+        import torch
+        from personalized_text_to_speech_tpu.models import (
+            MultiPeriodDiscriminator,
+        )
+
+        disc = MultiPeriodDiscriminator()
+        wav = jnp.zeros((1, 256))
+        params = disc.init(jax.random.PRNGKey(0), wav, wav)
+        state = tc.flax_to_torch(params)
+        assert state["discriminators.1.convs.0.weight_g"].shape == (32, 1, 1, 1)
+        assert state["discriminators.0.convs.0.weight_g"].shape == (16, 1, 1)
+        # round trip still exact
+        rebuilt = tc.torch_to_flax(state, params, strict=True)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(rebuilt)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

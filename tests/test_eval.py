@@ -64,3 +64,15 @@ class TestPairMetrics:
         assert np.isfinite(mcd)
         # same timbre stretched: DTW should keep MCD small
         assert mcd < metrics.MCD(a, synth_tone(f0=330.0, sr=sr, dur=0.8), sr)
+
+
+class TestLowPitch:
+    def test_recovers_low_f0(self):
+        # near-fmin pitch: the windowed YIN difference function must still
+        # find the dip (the naive full-energy form inflates d at large lags)
+        sr = 22050
+        wav = synth_tone(f0=60.0, sr=sr, dur=1.0)
+        f0, voiced = metrics.yin_f0(wav, sr)
+        assert voiced.mean() > 0.5
+        est = np.median(f0[voiced])
+        assert abs(est - 60.0) < 4.0
