@@ -417,6 +417,82 @@ class TTSEngine:
         return self.sampling_rate, np.concatenate(pieces)
 
     # ------------------------------------------------------------------
+    # fused low-latency path: encoder+duration+decode in ONE program, no
+    # mid-pipeline host sync — the frame canvas is chosen from a
+    # frames-per-token heuristic instead of the predicted length; if the
+    # prediction saturates the canvas (rare), fall back to the two-stage
+    # path for a correct full render
+    # ------------------------------------------------------------------
+    def _fused_fn(self, t_bucket: int, f_bucket: int):
+        key = ("fused", t_bucket, f_bucket)
+        if key not in self._decode_fns:
+            model = self.model
+
+            @functools.partial(jax.jit, static_argnames=("max_len",))
+            def run(params, x, x_lengths, sid, noise_scale, length_scale,
+                    noise_scale_w, rng, max_len):
+                k = jax.random.fold_in(_as_key(rng), 3)
+                dp_noise = jax.random.normal(
+                    k, (x.shape[0], x.shape[1], 2), dtype=jnp.float32
+                )
+                prior_noise = jax.random.normal(
+                    jax.random.fold_in(k, 1),
+                    (x.shape[0], max_len, model.inter_channels),
+                    dtype=jnp.float32,
+                )
+                wav, y_lengths, _, _ = model.apply(
+                    params, x, x_lengths, sid,
+                    method=model.infer,
+                    noise_scale=noise_scale, length_scale=length_scale,
+                    noise_scale_w=noise_scale_w, max_len=max_len,
+                    dp_noise=dp_noise, prior_noise=prior_noise,
+                )
+                return wav, y_lengths
+
+            self._decode_fns[key] = functools.partial(run, max_len=f_bucket)
+        return self._decode_fns[key]
+
+    def tts_low_latency(
+        self,
+        text: str,
+        speaker=0,
+        language: Optional[str] = None,
+        speed: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_scale_w: float = 0.8,
+        frames_per_token: float = 2.5,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[int, np.ndarray]:
+        """Single-dispatch synthesis (one device round trip).  With blank
+        interspersal, real speech runs ~2 frames/token, so the default
+        4 frames/token canvas has ample headroom; saturation falls back to
+        the exact two-stage path."""
+        if rng is None:
+            rng = self._next_rng()
+        ids = self.text_to_ids(text, language)[: self.text_buckets[-1]]
+        sid = np.asarray([self.speaker_id(speaker)], np.int32)
+        t_bucket = _next_bucket(len(ids), self.text_buckets)
+        f_bucket = _next_bucket(
+            max(int(len(ids) * frames_per_token / speed), 1),
+            self.frame_buckets,
+        )
+        x = np.zeros((1, t_bucket), dtype=np.int32)
+        x[0, : len(ids)] = ids
+        wav, y_lengths = self._fused_fn(t_bucket, f_bucket)(
+            self.params, x, np.asarray([len(ids)], np.int32), sid,
+            np.float32(noise_scale), np.float32(1.0 / speed),
+            np.float32(noise_scale_w), rng,
+        )
+        wav = np.asarray(jax.device_get(wav), dtype=np.float32)
+        n = int(y_lengths[0])
+        if n >= f_bucket:  # canvas saturated → exact re-render
+            return self.tts(
+                text, speaker=speaker, language=language, speed=speed,
+                noise_scale=noise_scale, noise_scale_w=noise_scale_w, rng=rng,
+            )
+        return self.sampling_rate, wav[0, : n * self.hop_length]
+
+    # ------------------------------------------------------------------
     # voice conversion (reference models.py:525-533 — API the reference
     # defines but never wires into its UI; exposed here end-to-end)
     # ------------------------------------------------------------------

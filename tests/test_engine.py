@@ -305,3 +305,21 @@ class TestStreaming:
         assert len(chunks) == 3
         for sr, wav in chunks:
             assert sr == 8000 and len(wav) > 0
+
+
+class TestLowLatency:
+    def test_fused_path_output(self, engine):
+        sr, wav = engine.tts_low_latency(
+            "Quick response please.", speaker="alice", language="English",
+        )
+        assert sr == 8000 and len(wav) > 0
+        assert np.isfinite(wav).all()
+
+    def test_saturation_fallback(self, engine):
+        # force a tiny canvas so the prediction saturates → falls back to
+        # the exact two-stage path (still correct output)
+        sr, wav = engine.tts_low_latency(
+            "This sentence is long enough to saturate.",
+            speaker="bob", language="English", frames_per_token=0.05,
+        )
+        assert len(wav) > 0
