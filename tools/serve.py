@@ -93,7 +93,13 @@ def serve_gradio(eng, args):
 
 
 def serve_http(eng, args):
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    # requests are handled concurrently (slow clients don't block others
+    # during response transfer) but device work is serialized: the engine's
+    # jit caches and RNG counter are not re-entrant
+    synth_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet
@@ -126,9 +132,11 @@ def serve_http(eng, args):
                     speed = float(req.get("speed", 1.0))
                     long_form = bool(req.get("long_form", False))
                     fn = eng.long_form if long_form else eng.tts
-                    sr, wav = fn(
-                        text, speaker=speaker, language=language, speed=speed
-                    )
+                    with synth_lock:
+                        sr, wav = fn(
+                            text, speaker=speaker, language=language,
+                            speed=speed,
+                        )
                     self._send(200, wav_bytes(sr, wav), "audio/wav")
                 elif self.path == "/vc":
                     # voice conversion: wav body, speakers via query-ish JSON
@@ -149,9 +157,10 @@ def serve_http(eng, args):
                         else data.T.astype(np.float32)
                     )
                     wav_in = resample(wav_in, sr_in, eng.sampling_rate)
-                    sr, wav = eng.voice_conversion(
-                        wav_in, meta.get("source", 0), meta.get("target", 0)
-                    )
+                    with synth_lock:
+                        sr, wav = eng.voice_conversion(
+                            wav_in, meta.get("source", 0), meta.get("target", 0)
+                        )
                     self._send(200, wav_bytes(sr, wav), "audio/wav")
                 else:
                     self._send(404, b"{}")
@@ -160,7 +169,7 @@ def serve_http(eng, args):
                     400, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
                 )
 
-    server = HTTPServer(("0.0.0.0", args.port), Handler)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
     print(f"HTTP TTS API on :{args.port}  (POST /tts, GET /speakers)")
     server.serve_forever()
 
