@@ -20,6 +20,7 @@ speed slider → ``length_scale = 1/speed``, ``VC_inference.py:48-49``).
 from __future__ import annotations
 
 import functools
+import logging
 import re
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -45,6 +46,19 @@ LANGUAGE_MARKS = {
 }
 
 _SENTENCE_SPLIT = re.compile(r"(?<=[.!?。！？；;…])\s*")
+
+logger = logging.getLogger(__name__)
+
+
+def _chunk_ids(seq: Sequence[int], cap: int) -> List[List[int]]:
+    """Split an over-long ID sequence into ≤``cap`` pieces.  Each piece is
+    synthesized as its own utterance, so no text is ever silently dropped
+    (the reference has no length limit because it pads dynamically;
+    static buckets need an explicit overflow policy)."""
+    seq = list(seq)
+    if len(seq) <= cap:
+        return [seq]
+    return [seq[i : i + cap] for i in range(0, len(seq), cap)]
 
 
 def _next_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -275,9 +289,18 @@ class TTSEngine:
         if rng is None:
             rng = self._next_rng()
         b = len(id_seqs)
-        # sequences beyond the largest text bucket are truncated (long-form
-        # input should go through `long_form`, which sentence-splits first)
+        # submit_ids keeps a strict 1:1 input→output contract, so an
+        # over-long sequence cannot be split here — it is truncated WITH a
+        # warning; `synthesize_ids` (and everything built on it) chunks
+        # over-long input upstream so full text survives
         cap = self.text_buckets[-1]
+        for i, s in enumerate(id_seqs):
+            if len(s) > cap:
+                logger.warning(
+                    "submit_ids: sequence %d has %d ids > largest text "
+                    "bucket %d; truncating. Use synthesize_ids/long_form "
+                    "for automatic chunking.", i, len(s), cap,
+                )
         id_seqs = [list(s)[:cap] for s in id_seqs]
         lengths = [len(s) for s in id_seqs]
         t_bucket = _next_bucket(max(lengths), self.text_buckets)
@@ -325,14 +348,38 @@ class TTSEngine:
         rng: Optional[jax.Array] = None,
         pcm16: bool = False,
     ) -> List[np.ndarray]:
-        """Batched synthesis of pre-tokenized sequences → list of wavs."""
+        """Batched synthesis of pre-tokenized sequences → list of wavs.
+
+        Sequences longer than the largest text bucket are transparently
+        chunked, synthesized piecewise, and concatenated — no text is
+        dropped (fixes the silent truncation flagged in round 1)."""
+        cap = self.text_buckets[-1]
+        chunked: List[List[int]] = []
+        owner: List[int] = []  # flat index → original sequence index
+        for i, s in enumerate(id_seqs):
+            pieces = _chunk_ids(s, cap)
+            if len(pieces) > 1:
+                logger.warning(
+                    "synthesize_ids: sequence %d (%d ids) exceeds the "
+                    "largest text bucket (%d); splitting into %d chunks.",
+                    i, len(s), cap, len(pieces),
+                )
+            for p in pieces:
+                chunked.append(p)
+                owner.append(i)
         handle = self.submit_ids(
-            id_seqs, speaker_ids,
+            chunked, [speaker_ids[i] for i in owner],
             noise_scale=noise_scale, noise_scale_w=noise_scale_w,
             length_scale=length_scale, rng=rng, pcm16=pcm16,
         )
         out_dtype = np.int16 if pcm16 else np.float32
-        return self.collect(handle, self.hop_length, dtype=out_dtype)
+        flat = self.collect(handle, self.hop_length, dtype=out_dtype)
+        if len(flat) == len(id_seqs):
+            return flat
+        joined: List[List[np.ndarray]] = [[] for _ in id_seqs]
+        for w, i in zip(flat, owner):
+            joined[i].append(w)
+        return [np.concatenate(ws) for ws in joined]
 
     def tts(
         self,
@@ -465,11 +512,17 @@ class TTSEngine:
     ) -> Tuple[int, np.ndarray]:
         """Single-dispatch synthesis (one device round trip).  With blank
         interspersal, real speech runs ~2 frames/token, so the default
-        4 frames/token canvas has ample headroom; saturation falls back to
-        the exact two-stage path."""
+        2.5 frames/token canvas carries ~25% headroom; saturation (or an
+        over-bucket text) falls back to the exact two-stage path, which
+        chunks instead of truncating."""
         if rng is None:
             rng = self._next_rng()
-        ids = self.text_to_ids(text, language)[: self.text_buckets[-1]]
+        ids = self.text_to_ids(text, language)
+        if len(ids) > self.text_buckets[-1]:
+            return self.tts(
+                text, speaker=speaker, language=language, speed=speed,
+                noise_scale=noise_scale, noise_scale_w=noise_scale_w, rng=rng,
+            )
         sid = np.asarray([self.speaker_id(speaker)], np.int32)
         t_bucket = _next_bucket(len(ids), self.text_buckets)
         f_bucket = _next_bucket(

@@ -9,6 +9,7 @@ enabled without restructuring callers.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -32,10 +33,17 @@ def create_mesh(
     sizes = [n // n_fixed if s == -1 else s for s in sizes]
     total = int(np.prod(sizes))
     if total != n:
-        # fall back to using the largest prefix of devices that fits
-        usable = (n // total) * total
-        if usable == 0:
-            raise ValueError(f"mesh {dict(zip(names, sizes))} needs {total} devices, have {n}")
+        if total > n:
+            raise ValueError(
+                f"mesh {dict(zip(names, sizes))} needs {total} devices, have {n}"
+            )
+        # fall back to the device prefix that fits — but never silently:
+        # a mesh {data:3} on 8 chips would otherwise train on 3 of them
+        logging.getLogger(__name__).warning(
+            "mesh %s uses only %d of %d available devices — %d left idle "
+            "(use -1 for an axis to absorb all devices)",
+            dict(zip(names, sizes)), total, n, n - total,
+        )
         devices = devices[:total]
     dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, tuple(names))

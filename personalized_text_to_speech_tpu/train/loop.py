@@ -9,6 +9,7 @@ loses optimizer state on resume), optional import of reference ``G_0.pth`` /
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Optional
@@ -150,6 +151,7 @@ class Trainer:
         self.global_step = 0
         self.epoch = 1
         self.rng = jax.random.PRNGKey(hps.train.seed + 17)
+        self._eval_fns: dict = {}  # cached jitted eval-inference stages
 
     # ------------------------------------------------------------------
     def resume(self) -> bool:
@@ -234,56 +236,143 @@ class Trainer:
             self.global_step += 1
             t_step = time.perf_counter()
 
+    # -- cached jitted eval-inference stages ---------------------------
+    # The whole eval path runs as TWO jitted programs per bucket pair
+    # (encode → pick frame bucket from one scalar → decode+mel).  An
+    # unjitted apply here would dispatch thousands of eager ops at ~20 ms
+    # each on a tunneled attach — minutes of stall per eval.
+    def _eval_encode_fn(self, t_bucket: int):
+        key = ("enc", t_bucket)
+        if key not in self._eval_fns:
+            model = self.g_model
+
+            @jax.jit
+            def run(params, x, x_lengths, sid):
+                rng = jax.random.PRNGKey(0)
+                dp_noise = jax.random.normal(
+                    rng, (x.shape[0], x.shape[1], 2), dtype=jnp.float32
+                )
+                w_ceil, m_p, logs_p, x_mask = model.apply(
+                    {"params": params}, x, x_lengths, sid,
+                    dp_noise=dp_noise, method=model.infer_encode,
+                )
+                n_frames = jnp.max(jnp.sum(w_ceil, axis=-1)).astype(jnp.int32)
+                return w_ceil, m_p, logs_p, x_mask, n_frames
+
+            self._eval_fns[key] = run
+        return self._eval_fns[key]
+
+    def _eval_decode_fn(self, t_bucket: int, f_bucket: int):
+        key = ("dec", t_bucket, f_bucket)
+        if key not in self._eval_fns:
+            model = self.g_model
+            mel_cfg = self.mel_cfg
+
+            @functools.partial(jax.jit, static_argnames=("max_len",))
+            def run(params, w_ceil, m_p, logs_p, x_mask, sid, max_len):
+                prior_noise = jax.random.normal(
+                    jax.random.PRNGKey(1),
+                    (m_p.shape[0], max_len, m_p.shape[-1]),
+                    dtype=jnp.float32,
+                )
+                wav, y_lengths = model.apply(
+                    {"params": params}, w_ceil, m_p, logs_p, x_mask, sid,
+                    max_len=max_len, prior_noise=prior_noise,
+                    method=model.infer_decode,
+                )
+                # mel of the generated audio computed in the same program —
+                # no separate eager spectrogram dispatches
+                mel = spec_to_mel(linear_spectrogram(wav, mel_cfg), mel_cfg)
+                return wav, y_lengths, mel
+
+            self._eval_fns[key] = functools.partial(run, max_len=f_bucket)
+        return self._eval_fns[key]
+
+    def _eval_gt_mel_fn(self, n_samples: int):
+        key = ("gtmel", n_samples)
+        if key not in self._eval_fns:
+            mel_cfg = self.mel_cfg
+
+            @jax.jit
+            def run(wav):
+                return spec_to_mel(linear_spectrogram(wav, mel_cfg), mel_cfg)
+
+            self._eval_fns[key] = run
+        return self._eval_fns[key]
+
+    @staticmethod
+    def _bucketize(n: int, buckets) -> int:
+        for b in buckets:
+            if n <= b:
+                return int(b)
+        return int(buckets[-1])
+
     def evaluate(self) -> None:
         """Synthesize one validation utterance to TensorBoard
-        (reference ``finetune_speaker_v2.py:313-368``)."""
+        (reference ``finetune_speaker_v2.py:313-368``), using the engine's
+        bucketed two-stage compiled path: the decode canvas follows the
+        predicted length instead of a fixed 1000-frame maximum."""
         source = self.eval_set or self.train_set
         if len(source) == 0:
             return
+        hps = self.hps
+        text_buckets = list(hps.tpu.text_buckets)
+        frame_buckets = list(hps.tpu.frame_buckets)
         item = source[0]
-        x = jnp.asarray(item["text"])[None]
-        x_lengths = jnp.array([x.shape[1]])
-        sid = jnp.array([item["sid"]])
-        wav, y_len, attn, _ = self.g_model.apply(
-            {"params": self.g_state.params},
-            x,
-            x_lengths,
-            sid,
-            method=self.g_model.infer,
-            max_len=1000,
-            rngs={"noise": jax.random.PRNGKey(0)},
+        ids = np.asarray(item["text"], dtype=np.int32)
+        t_bucket = self._bucketize(len(ids), text_buckets)
+        x = np.zeros((1, t_bucket), dtype=np.int32)
+        x[0, : len(ids)] = ids[:t_bucket]
+        x_lengths = np.asarray([min(len(ids), t_bucket)], np.int32)
+        sid = np.asarray([item["sid"]], np.int32)
+
+        params = self.g_state.params
+        w_ceil, m_p, logs_p, x_mask, n_frames_dev = self._eval_encode_fn(
+            t_bucket
+        )(params, x, x_lengths, sid)
+        n_frames = int(n_frames_dev)
+        f_bucket = self._bucketize(max(n_frames, 1), frame_buckets)
+        wav, y_len, mel = self._eval_decode_fn(t_bucket, f_bucket)(
+            params, w_ceil, m_p, logs_p, x_mask, sid
         )
         wav_np = np.asarray(jax.device_get(wav))[0]
-        n = int(y_len[0]) * self.hps.data.hop_length
-        mel = spec_to_mel(
-            linear_spectrogram(jnp.asarray(wav_np[None, :max(n, 256)]), self.mel_cfg),
-            self.mel_cfg,
-        )
+        n = int(y_len[0]) * hps.data.hop_length
+        n_mel_frames = int(y_len[0])
+        # alignment plot reconstructed from durations on host (numpy) —
+        # avoids hauling the [T_spec, T_text] attention canvas over D2H
+        durs = np.asarray(jax.device_get(w_ceil))[0][: int(x_lengths[0])]
+        attn_np = np.zeros((min(int(durs.sum()), f_bucket), len(durs)), np.float32)
+        pos = 0
+        for j, d in enumerate(durs.astype(np.int64)):
+            end = min(pos + int(d), attn_np.shape[0])
+            attn_np[pos:end, j] = 1.0
+            pos = end
         images = {
             "gen/mel": logging_utils.plot_spectrogram_to_numpy(
-                np.asarray(mel)[0].T
+                np.asarray(mel)[0][:n_mel_frames].T
             ),
-            "gen/attn": logging_utils.plot_alignment_to_numpy(
-                np.asarray(attn)[0]
-            ),
+            "gen/attn": logging_utils.plot_alignment_to_numpy(attn_np.T),
         }
         audios = {"gen/audio": wav_np[:n]}
         if self.global_step == 0:
             # ground-truth reference at step 0 (finetune_speaker_v2.py:357-359)
-            gt = item["wav"]
-            gt_mel = spec_to_mel(
-                linear_spectrogram(jnp.asarray(gt[None]), self.mel_cfg),
-                self.mel_cfg,
-            )
+            gt = np.asarray(item["wav"], dtype=np.float32)
+            pad = self._bucketize(
+                max(len(gt) // hps.data.hop_length, 1), frame_buckets
+            ) * hps.data.hop_length
+            gt_p = np.zeros((1, pad), np.float32)
+            gt_p[0, : min(len(gt), pad)] = gt[:pad]
+            gt_mel = self._eval_gt_mel_fn(pad)(gt_p)
+            gt_frames = min(len(gt), pad) // hps.data.hop_length
             images["gt/mel"] = logging_utils.plot_spectrogram_to_numpy(
-                np.asarray(gt_mel)[0].T
+                np.asarray(gt_mel)[0][:gt_frames].T
             )
             audios["gt/audio"] = gt
         self.writer_eval.summarize(
             self.global_step,
             images=images,
             audios=audios,
-            audio_sampling_rate=self.hps.data.sampling_rate,
+            audio_sampling_rate=hps.data.sampling_rate,
         )
 
     # ------------------------------------------------------------------

@@ -221,11 +221,37 @@ class TestAsyncAndPcm:
 
 
 class TestRobustness:
-    def test_overlong_text_truncates(self, engine):
-        # beyond the largest text bucket → truncated, not crashed
+    def test_overlong_ids_chunked_full_audio(self, engine):
+        # beyond the largest text bucket → chunked and synthesized in full:
+        # the output must cover ALL tokens, not just the first bucket's worth
         long_ids = list(range(1, 60)) * 4  # 236 ids > bucket cap 64
-        wavs = engine.synthesize_ids([long_ids], [0])
-        assert len(wavs) == 1 and len(wavs[0]) > 0
+        k = jax.random.PRNGKey(7)
+        full = engine.synthesize_ids([long_ids], [0], rng=k)
+        assert len(full) == 1
+        head = engine.synthesize_ids([long_ids[:64]], [0], rng=k)
+        # chunked output is strictly longer than one truncated bucket's audio
+        assert len(full[0]) > len(head[0])
+
+    def test_submit_ids_warns_on_truncation(self, engine, caplog):
+        import logging as _logging
+
+        long_ids = list(range(1, 60)) * 4
+        with caplog.at_level(_logging.WARNING,
+                             logger="personalized_text_to_speech_tpu.infer.engine"):
+            engine.submit_ids([long_ids], [0])
+        assert any("truncating" in r.message for r in caplog.records)
+
+    def test_overlong_mixed_batch_order_preserved(self, engine):
+        k = jax.random.PRNGKey(3)
+        short = list(range(1, 20))
+        long_ids = list(range(1, 60)) * 3  # 177 ids, chunks into 3
+        wavs = engine.synthesize_ids([short, long_ids, short], [0, 1, 0], rng=k)
+        # output count matches input count despite internal chunk fan-out,
+        # and the chunked row is by far the longest (each row draws its own
+        # duration noise, so exact equality between rows isn't expected)
+        assert len(wavs) == 3
+        assert all(len(w) > 0 for w in wavs)
+        assert len(wavs[1]) > max(len(wavs[0]), len(wavs[2]))
 
     def test_unknown_language_autotags(self, engine):
         ids = engine.text_to_ids("bonjour monde", language="French")

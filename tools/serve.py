@@ -123,6 +123,11 @@ def serve_http(eng, args):
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > args.max_body_mb * 1024 * 1024:
+                    self._send(413, json.dumps(
+                        {"error": f"body exceeds {args.max_body_mb} MiB cap"}
+                    ).encode())
+                    return
                 body = self.rfile.read(length)
                 if self.path == "/tts":
                     req = json.loads(body or b"{}")
@@ -169,8 +174,8 @@ def serve_http(eng, args):
                     400, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
                 )
 
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
-    print(f"HTTP TTS API on :{args.port}  (POST /tts, GET /speakers)")
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"HTTP TTS API on {args.host}:{args.port}  (POST /tts, GET /speakers)")
     server.serve_forever()
 
 
@@ -180,6 +185,11 @@ def main():
     parser.add_argument("--config_dir", default="./finetune_speaker.json")
     parser.add_argument("--share", default=False, action="store_true")
     parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="HTTP bind address (default loopback; set "
+                             "0.0.0.0 explicitly to expose externally)")
+    parser.add_argument("--max-body-mb", type=int, default=32,
+                        help="reject request bodies larger than this (MiB)")
     parser.add_argument("--random-init", action="store_true")
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
