@@ -7,9 +7,10 @@ alignment, and YIN pitch tracking are all implemented here on numpy/scipy.
 Definitions match the reference:
 * MCD: 13 MFCCs (c0 excluded), DTW-aligned, ``10/ln10·√2 · mean‖Δc‖``,
 * LSD: mean over frames of RMS log10-magnitude difference,
-* F0: RMSE/MAE/corr over frames voiced in both + voicing-decision error
-  (the reference uses pYIN; this uses YIN with a CMNDF threshold, same
-  frame/hop/fmin/fmax defaults),
+* F0: RMSE/MAE/corr over frames voiced in both + voicing-decision error,
+  estimated with pYIN (threshold-distribution trough probabilities +
+  Viterbi-decoded voicing, matching the reference's ``librosa.pyin``;
+  plain thresholded YIN available via ``method="yin"``),
 * MRSTFT: spectral convergence + log-magnitude L1 at (1024/2048/512) FFTs.
 """
 
@@ -94,8 +95,53 @@ def _center_trim(A: np.ndarray, B: np.ndarray):
 
 
 # --------------------------------------------------------------------------
-# YIN pitch tracking
+# YIN / pYIN pitch tracking
 # --------------------------------------------------------------------------
+
+def _frame_cmndf(
+    y: np.ndarray, frame: int, hop: int, tau_max: int, win: int = None
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Per-frame difference function and CMNDF (de Cheveigné & Kawahara
+    2002 eqs. 6–8) for all frames at once, with the FIXED integration
+    window ``win`` of the original paper (librosa convention
+    ``win = frame // 2``): ``d(τ) = Σ_{j<win} (x_j − x_{j+τ})²``.  A
+    shrinking-overlap formulation instead biases the CMNDF downward at
+    large τ, which reads as a phantom low pitch in noise.
+
+    Returns ``(d, cmndf, tau_max_eff)`` with arrays ``[n_frames,
+    tau_max_eff+1]``; ``tau_max_eff ≤ min(tau_max, frame − win − 1)``."""
+    win = win or frame // 2
+    tau_max = min(tau_max, frame - win - 1)
+    n_frames = max(1 + (len(y) - frame) // hop, 0)
+    d_all = np.zeros((n_frames, tau_max + 1))
+    cmndf_all = np.ones((n_frames, tau_max + 1))
+    taus = np.arange(1, tau_max + 1)
+    nfft = 2 * frame
+    for t in range(n_frames):
+        x = y[t * hop : t * hop + frame].astype(np.float64)
+        # cross-correlation r(τ) = Σ_{j<win} x_j·x_{j+τ} via FFT
+        r = np.fft.irfft(
+            np.conj(np.fft.rfft(x[:win], nfft)) * np.fft.rfft(x, nfft)
+        )[: tau_max + 1]
+        cum = np.concatenate(([0.0], np.cumsum(x * x)))
+        e_w = cum[win]
+        d = e_w + (cum[taus + win] - cum[taus]) - 2.0 * r[taus]
+        d = np.maximum(d, 0.0)
+        d_all[t, 1:] = d
+        running = np.cumsum(d)
+        cmndf_all[t, 1:] = d * taus / np.maximum(running, 1e-12)
+    return d_all, cmndf_all, tau_max
+
+
+def _parabolic_tau(d: np.ndarray, tau: int, tau_max: int) -> float:
+    """Parabolic interpolation of the difference-function dip at ``tau``."""
+    if 1 <= tau < tau_max:
+        a, b, c = d[tau - 1], d[tau], d[tau + 1]
+        denom = a - 2 * b + c
+        shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+        return tau + float(np.clip(shift, -1, 1))
+    return float(tau)
+
 
 def yin_f0(
     y: np.ndarray,
@@ -111,28 +157,12 @@ def yin_f0(
     Returns (f0 [T], voiced mask [T])."""
     tau_min = max(2, int(sr / fmax))
     tau_max = min(frame - 1, int(sr / fmin))
-    n_frames = max(1 + (len(y) - frame) // hop, 0)
+    d_all, cmndf_all, tau_max = _frame_cmndf(y, frame, hop, tau_max)
+    n_frames = d_all.shape[0]
     f0 = np.zeros(n_frames, dtype=np.float32)
     voiced = np.zeros(n_frames, dtype=bool)
     for t in range(n_frames):
-        x = y[t * hop : t * hop + frame].astype(np.float64)
-        # difference function via autocorrelation (O(N log N)):
-        # d(τ) = Σ_{j<W-τ} x_j² + Σ_{j≥τ} x_j² − 2·ac(τ)
-        w = len(x)
-        spec = np.fft.rfft(x, 2 * w)
-        ac = np.fft.irfft(spec * np.conj(spec))[:w]
-        cumsum = np.cumsum(x * x)
-        energy = cumsum[-1]
-        d = np.empty(tau_max + 1)
-        d[0] = 0.0
-        taus = np.arange(1, tau_max + 1)
-        term_head = cumsum[w - taus - 1]  # Σ_{j=0}^{W-τ-1} x_j²
-        term_tail = energy - cumsum[taus - 1]  # Σ_{j=τ}^{W-1} x_j²
-        d[1:] = term_head + term_tail - 2.0 * ac[taus]
-        # CMNDF
-        cmndf = np.ones_like(d)
-        running = np.cumsum(d[1:])
-        cmndf[1:] = d[1:] * np.arange(1, tau_max + 1) / np.maximum(running, 1e-12)
+        cmndf = cmndf_all[t]
         # first dip under threshold within [tau_min, tau_max]
         tau = -1
         for k in range(tau_min, tau_max):
@@ -143,17 +173,180 @@ def yin_f0(
                 break
         if tau == -1:
             continue
-        # parabolic interpolation around the dip
-        if 1 <= tau < tau_max:
-            a, b, c = d[tau - 1], d[tau], d[tau + 1]
-            denom = a - 2 * b + c
-            shift = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
-            tau_refined = tau + np.clip(shift, -1, 1)
-        else:
-            tau_refined = tau
-        f0[t] = sr / tau_refined
+        f0[t] = sr / _parabolic_tau(d_all[t], tau, tau_max)
         voiced[t] = True
     return f0, voiced
+
+
+def pyin_f0(
+    y: np.ndarray,
+    sr: int,
+    frame: int = 1024,
+    hop: int = 256,
+    fmin: float = 50.0,
+    fmax: float = 600.0,
+    n_thresholds: int = 100,
+    beta_params: Tuple[float, float] = (2.0, 18.0),
+    boltzmann_parameter: float = 2.0,
+    bins_per_semitone: int = 5,
+    max_transition_semitones: float = 12.0,
+    switch_prob: float = 0.01,
+    no_trough_prob: float = 0.01,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Probabilistic YIN (Mauch & Dixon 2014) — the estimator the reference
+    uses via ``librosa.pyin`` (reference ``eval_pair.py:73-76``).
+
+    Instead of one hard CMNDF threshold, every trough of the CMNDF gets a
+    probability from a Beta(2, 18) prior over thresholds (first-trough-
+    below-threshold weighting with a Boltzmann decay over deeper troughs),
+    and a 2·B-state HMM (B pitch bins × {voiced, unvoiced}) with triangular
+    pitch-proximity transitions and a voicing switch penalty is decoded with
+    Viterbi.  This keeps octave errors and voicing flicker out of the track
+    where plain YIN flips frame-by-frame.
+
+    Returns ``(f0 [T], voiced [T], voiced_prob [T])``.
+    """
+    from scipy.special import betainc
+
+    tau_min = max(2, int(sr / fmax))
+    tau_max = min(frame - 1, int(sr / fmin))
+    d_all, cmndf_all, tau_max = _frame_cmndf(y, frame, hop, tau_max)
+    n_frames = d_all.shape[0]
+
+    # pitch grid (log-spaced, bins_per_semitone resolution)
+    n_bins = int(np.ceil(12 * bins_per_semitone * np.log2(fmax / fmin))) + 1
+    bin_freqs = fmin * 2.0 ** (np.arange(n_bins) / (12.0 * bins_per_semitone))
+
+    # threshold prior: P(s_k) from the Beta(2,18) cdf over [0, 1]
+    edges = np.linspace(0.0, 1.0, n_thresholds + 1)
+    cdf = betainc(beta_params[0], beta_params[1], edges)
+    threshold_prior = np.diff(cdf)  # [n_thresholds]
+    thresholds = edges[1:]
+
+    obs_voiced = np.zeros((n_frames, n_bins))
+    cand_freq = np.tile(bin_freqs, (n_frames, 1))  # refined f0 per bin hit
+    voiced_prob = np.zeros(n_frames)
+
+    for t in range(n_frames):
+        cmndf = cmndf_all[t]
+        valid = np.arange(tau_min, tau_max)
+        if valid.size == 0:
+            continue
+        vals = cmndf[valid]
+        is_trough = np.ones(valid.size, dtype=bool)
+        is_trough[1:] &= vals[1:] <= vals[:-1]
+        is_trough[:-1] &= vals[:-1] <= vals[1:]
+        trough_taus = valid[is_trough]
+        trough_vals = vals[is_trough]
+        if trough_taus.size == 0:
+            continue
+        order = np.argsort(trough_taus)  # increasing τ = decreasing f0
+        trough_taus = trough_taus[order]
+        trough_vals = trough_vals[order]
+        n_troughs = trough_taus.size
+
+        # probability mass per trough: for each threshold, the troughs
+        # below it share mass with a Boltzmann decay over trough index
+        # (earlier = higher f0 = favored), scaled by the threshold prior
+        below = trough_vals[None, :] < thresholds[:, None]  # [K, n_troughs]
+        trough_prob = np.zeros(n_troughs)
+        ranks = np.cumsum(below, axis=1) - 1  # rank of each below-trough
+        with np.errstate(divide="ignore"):
+            boltz = np.where(below, np.exp(-boltzmann_parameter * ranks), 0.0)
+        norm = boltz.sum(axis=1, keepdims=True)
+        any_below = norm[:, 0] > 0
+        boltz[any_below] /= norm[any_below]
+        trough_prob += (threshold_prior[:, None] * boltz).sum(axis=0)
+        # thresholds with NO trough below: global-min trough gets a small
+        # residual voicing probability (librosa's no_trough_prob)
+        miss_mass = threshold_prior[~any_below].sum()
+        if miss_mass > 0:
+            trough_prob[np.argmin(trough_vals)] += no_trough_prob * miss_mass
+
+        voiced_prob[t] = min(float(trough_prob.sum()), 1.0)
+        # refine each trough and deposit into its pitch bin
+        for tau, p in zip(trough_taus, trough_prob):
+            if p <= 0:
+                continue
+            f = sr / _parabolic_tau(d_all[t], int(tau), tau_max)
+            if f < fmin or f > fmax * 1.05:
+                continue
+            b = int(
+                np.clip(
+                    round(12 * bins_per_semitone * np.log2(f / fmin)),
+                    0,
+                    n_bins - 1,
+                )
+            )
+            if p > obs_voiced[t, b]:
+                cand_freq[t, b] = f
+            obs_voiced[t, b] += p
+
+    # ---- HMM decode: states [0..n_bins) voiced, [n_bins..2n_bins) unvoiced
+    width = int(max_transition_semitones * bins_per_semitone)
+    offs = np.arange(-width, width + 1)
+    tri = (width + 1 - np.abs(offs)).astype(np.float64)
+    tri /= tri.sum()
+
+    log_obs_v = np.log(np.maximum(obs_voiced, 1e-12))
+    log_obs_u = np.log(
+        np.maximum((1.0 - voiced_prob)[:, None] / n_bins, 1e-12)
+    ) * np.ones((1, n_bins))
+
+    neg_inf = -1e30
+    stay = np.log1p(-switch_prob)
+    switch = np.log(switch_prob)
+
+    def _banded_max(delta: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """max over previous bins within the triangular transition band."""
+        best = np.full(n_bins, neg_inf)
+        argb = np.zeros(n_bins, dtype=np.int64)
+        for o, w in zip(offs, np.log(tri)):
+            lo, hi = max(0, o), min(n_bins, n_bins + o)
+            src = delta[lo - o : hi - o] + w
+            seg = slice(lo, hi)
+            upd = src > best[seg]
+            best[seg] = np.where(upd, src, best[seg])
+            argb[seg] = np.where(upd, np.arange(lo - o, hi - o), argb[seg])
+        return best, argb
+
+    delta_v = log_obs_v[0] + np.log(1.0 / (2 * n_bins))
+    delta_u = log_obs_u[0] + np.log(1.0 / (2 * n_bins))
+    back_v = np.zeros((n_frames, n_bins, 2), dtype=np.int64)
+    back_u = np.zeros((n_frames, n_bins, 2), dtype=np.int64)
+    for t in range(1, n_frames):
+        bv, av = _banded_max(delta_v)
+        bu, au = _banded_max(delta_u)
+        # into voiced state b: from voiced (stay) or unvoiced (switch)
+        from_v = bv + stay
+        from_u = bu + switch
+        take_v = from_v >= from_u
+        delta_v_new = np.where(take_v, from_v, from_u) + log_obs_v[t]
+        back_v[t, :, 0] = np.where(take_v, av, au)
+        back_v[t, :, 1] = np.where(take_v, 0, 1)
+        # into unvoiced state b
+        from_v2 = bv + switch
+        from_u2 = bu + stay
+        take_v2 = from_v2 >= from_u2
+        delta_u_new = np.where(take_v2, from_v2, from_u2) + log_obs_u[t]
+        back_u[t, :, 0] = np.where(take_v2, av, au)
+        back_u[t, :, 1] = np.where(take_v2, 0, 1)
+        delta_v, delta_u = delta_v_new, delta_u_new
+
+    f0 = np.zeros(n_frames, dtype=np.float32)
+    voiced = np.zeros(n_frames, dtype=bool)
+    if n_frames:
+        if delta_v.max() >= delta_u.max():
+            b, s = int(np.argmax(delta_v)), 0
+        else:
+            b, s = int(np.argmax(delta_u)), 1
+        for t in range(n_frames - 1, -1, -1):
+            voiced[t] = s == 0
+            f0[t] = cand_freq[t, b] if s == 0 else 0.0
+            if t:
+                bk = back_v[t] if s == 0 else back_u[t]
+                b, s = int(bk[b, 0]), int(bk[b, 1])
+    return f0, voiced, voiced_prob
 
 
 # --------------------------------------------------------------------------
@@ -186,9 +379,18 @@ def LSD(
 def F0_metrics(
     ref: np.ndarray, syn: np.ndarray, sr: int, frame: int = 1024,
     hop: int = 256, fmin: float = 50.0, fmax: float = 600.0,
+    method: str = "pyin",
 ) -> Dict[str, float]:
-    f0_r, v_r = yin_f0(ref, sr, frame, hop, fmin, fmax)
-    f0_s, v_s = yin_f0(syn, sr, frame, hop, fmin, fmax)
+    """F0 RMSE/MAE/correlation over co-voiced frames + voicing-decision
+    error.  Default estimator is pYIN (matching the reference's
+    ``librosa.pyin``, ``eval_pair.py:73-76``); ``method="yin"`` selects the
+    plain thresholded YIN."""
+    if method == "pyin":
+        f0_r, v_r, _ = pyin_f0(ref, sr, frame, hop, fmin, fmax)
+        f0_s, v_s, _ = pyin_f0(syn, sr, frame, hop, fmin, fmax)
+    else:
+        f0_r, v_r = yin_f0(ref, sr, frame, hop, fmin, fmax)
+        f0_s, v_s = yin_f0(syn, sr, frame, hop, fmin, fmax)
     T = min(len(f0_r), len(f0_s))
     f0_r, f0_s, v_r, v_s = f0_r[:T], f0_s[:T], v_r[:T], v_s[:T]
     vde = float(np.mean(v_r != v_s)) if T else float("nan")

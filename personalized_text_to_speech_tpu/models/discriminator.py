@@ -24,11 +24,15 @@ Dtype = Any
 
 
 class DiscriminatorP(nn.Module):
-    """Period discriminator (reference ``models.py:299-333``)."""
+    """Period discriminator (reference ``models.py:299-333``).
+
+    ``use_spectral_norm=True`` selects torch-parity spectral normalization
+    instead of weight norm (reference ``models.py:304``)."""
 
     period: int
     kernel_size: int = 5
     stride: int = 3
+    use_spectral_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -41,6 +45,7 @@ class DiscriminatorP(nn.Module):
             t = t + n_pad
         x = x.reshape(b, t // self.period, self.period, 1).astype(self.dtype)
 
+        sn = self.use_spectral_norm
         fmap = []
         pad = (self.kernel_size - 1) // 2
         channels = [32, 128, 512, 1024]
@@ -50,7 +55,8 @@ class DiscriminatorP(nn.Module):
                 (self.kernel_size, 1),
                 strides=(self.stride, 1),
                 padding=(pad, 0),
-                weight_norm=True,
+                weight_norm=not sn,
+                spectral_norm=sn,
                 dtype=self.dtype,
                 name=f"convs_{i}",
             )(x)
@@ -61,15 +67,16 @@ class DiscriminatorP(nn.Module):
             (self.kernel_size, 1),
             strides=(1, 1),
             padding=(pad, 0),
-            weight_norm=True,
+            weight_norm=not sn,
+            spectral_norm=sn,
             dtype=self.dtype,
             name="convs_4",
         )(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
         x = Conv2d(
-            1, (3, 1), padding=(1, 0), weight_norm=True, dtype=self.dtype,
-            name="conv_post",
+            1, (3, 1), padding=(1, 0), weight_norm=not sn, spectral_norm=sn,
+            dtype=self.dtype, name="conv_post",
         )(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
@@ -78,6 +85,7 @@ class DiscriminatorP(nn.Module):
 class DiscriminatorS(nn.Module):
     """Scale discriminator (reference ``models.py:336-361``)."""
 
+    use_spectral_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -85,6 +93,7 @@ class DiscriminatorS(nn.Module):
         # x: [B, L] → [B, L, 1]
         b = x.shape[0]
         x = x[..., None].astype(self.dtype)
+        sn = self.use_spectral_norm
         fmap = []
         specs = [
             # (features, kernel, stride, groups, padding)
@@ -97,13 +106,14 @@ class DiscriminatorS(nn.Module):
         ]
         for i, (f, k, s, gps, p) in enumerate(specs):
             x = Conv1d(
-                f, k, stride=s, groups=gps, padding=p, weight_norm=True,
-                dtype=self.dtype, name=f"convs_{i}",
+                f, k, stride=s, groups=gps, padding=p, weight_norm=not sn,
+                spectral_norm=sn, dtype=self.dtype, name=f"convs_{i}",
             )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = Conv1d(
-            1, 3, padding=1, weight_norm=True, dtype=self.dtype, name="conv_post"
+            1, 3, padding=1, weight_norm=not sn, spectral_norm=sn,
+            dtype=self.dtype, name="conv_post",
         )(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
@@ -119,17 +129,13 @@ class MultiPeriodDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
-        if self.use_spectral_norm:
-            # the reference supports a spectral-norm discriminator variant
-            # (models.py:304) but its production configs never enable it
-            # (configs/finetune_speaker.json:50); fail loudly rather than
-            # silently training a weight-normed one
-            raise NotImplementedError(
-                "use_spectral_norm=True is not implemented; the pretrained "
-                "reference checkpoints all use weight norm"
+        sn = self.use_spectral_norm
+        discs = [
+            DiscriminatorS(use_spectral_norm=sn, dtype=self.dtype, name="disc_s")
+        ] + [
+            DiscriminatorP(
+                p, use_spectral_norm=sn, dtype=self.dtype, name=f"disc_p{p}"
             )
-        discs = [DiscriminatorS(dtype=self.dtype, name="disc_s")] + [
-            DiscriminatorP(p, dtype=self.dtype, name=f"disc_p{p}")
             for p in self.periods
         ]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []

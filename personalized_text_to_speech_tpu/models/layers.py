@@ -46,6 +46,60 @@ def get_padding(kernel_size: int, dilation: int = 1) -> int:
     return (kernel_size * dilation - dilation) // 2
 
 
+def _l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Torch ``F.normalize`` semantics: x / max(‖x‖₂, eps)."""
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+def spectral_norm_kernel(
+    mod: nn.Module,
+    kshape: Tuple[int, ...],
+    torch_perm: Tuple[int, ...],
+    kernel_init: Callable,
+) -> jnp.ndarray:
+    """Spectrally-normalized conv kernel with torch parity
+    (``torch.nn.utils.spectral_norm``: dim 0, one power iteration per
+    training forward, eps 1e-12 — the reference's discriminator variant,
+    reference ``models.py:304,339``).
+
+    The raw weight is the ``w_orig`` param (→ torch ``weight_orig``); the
+    left/right singular-vector estimates live in the ``spectral`` variable
+    collection (→ ``weight_u``/``weight_v``), flattened in torch's
+    ``weight.reshape(C_out, -1)`` column order so checkpoints round-trip
+    verbatim.  The power iteration runs only when the caller marks
+    ``spectral`` mutable (training D-step); it is skipped under init and
+    frozen evaluation, exactly like torch's train/eval split.
+    """
+    w = mod.param("w_orig", kernel_init, kshape)
+    n_out = kshape[torch_perm[0]]
+    n_rest = 1
+    for d in kshape:
+        n_rest *= d
+    n_rest //= n_out
+
+    if mod.is_initializing():
+        ku, kv = jax.random.split(mod.make_rng("params"))
+        u0 = _l2_normalize(jax.random.normal(ku, (n_out,), jnp.float32))
+        v0 = _l2_normalize(jax.random.normal(kv, (n_rest,), jnp.float32))
+    else:
+        u0 = v0 = None
+    u_var = mod.variable("spectral", "u", lambda: u0)
+    v_var = mod.variable("spectral", "v", lambda: v0)
+
+    w32 = w.astype(jnp.float32)
+    w2d = jnp.transpose(w32, torch_perm).reshape(n_out, n_rest)
+    u, v = u_var.value, v_var.value
+    if not mod.is_initializing() and mod.is_mutable_collection("spectral"):
+        # one power iteration under stop_gradient (torch runs it in no_grad)
+        v = _l2_normalize(jax.lax.stop_gradient(w2d).T @ u)
+        u = _l2_normalize(jax.lax.stop_gradient(w2d) @ v)
+        u_var.value, v_var.value = u, v
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = jnp.dot(u, w2d @ v)
+    return (w32 / sigma).astype(w.dtype)
+
+
 class Conv1d(nn.Module):
     """1-D convolution over [B, T, C] with torch-style symmetric padding.
 
@@ -62,6 +116,7 @@ class Conv1d(nn.Module):
     padding: Optional[int] = None  # None → torch "same" for odd kernels
     use_bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     kernel_init: Callable = torch_conv_default_init
     dtype: Dtype = jnp.float32
 
@@ -69,7 +124,12 @@ class Conv1d(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
         kshape = (self.kernel_size, in_ch // self.groups, self.features)
-        if self.weight_norm:
+        if self.spectral_norm:
+            # torch weight [C_out, C_in/g, K] ← our [K, C_in/g, C_out]
+            kernel = spectral_norm_kernel(
+                self, kshape, (2, 1, 0), self.kernel_init
+            )
+        elif self.weight_norm:
             v = self.param("v", self.kernel_init, kshape)
             g = self.param(
                 "g",
@@ -190,6 +250,7 @@ class Conv2d(nn.Module):
     padding: Tuple[int, int] = (0, 0)
     use_bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -203,7 +264,10 @@ class Conv2d(nn.Module):
             bound = 1.0 / math.sqrt(fan_in)
             return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-        if self.weight_norm:
+        if self.spectral_norm:
+            # torch weight [C_out, C_in, kh, kw] ← our [kh, kw, C_in, C_out]
+            kernel = spectral_norm_kernel(self, kshape, (3, 2, 0, 1), kinit)
+        elif self.weight_norm:
             v = self.param("v", kinit, kshape)
             g = self.param(
                 "g",

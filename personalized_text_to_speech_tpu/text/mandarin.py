@@ -10,9 +10,11 @@ The reference depends on ``cn2an`` (numbers), ``jieba`` (segmentation) and
 
 * number conversion is a built-in Chinese-numeral engine,
 * segmentation uses ``jieba`` when installed, else per-character,
-* hanzi→pinyin uses ``pypinyin`` when installed, else a built-in dictionary of
-  ~400 frequent characters (install ``pypinyin`` for full coverage); the
+* hanzi→pinyin uses ``pypinyin`` when installed, else a built-in embedded
+  table of ~3000 characters plus word-level polyphone overrides
+  (``hanzi_pinyin_data.py``) covering everyday and news text; the
   pinyin→bopomofo→IPA conversion itself is pure table data and always active.
+  Unknown exotic characters are logged (never silently dropped).
 
 A ``pinyin_to_ipa()`` entry point also accepts tone-numbered pinyin directly
 (e.g. ``"ni3 hao3"``), which needs no external dependency at all.
@@ -271,6 +273,23 @@ _HANZI_PINYIN: Dict[str, str] = {
     "雨": "yu3", "雪": "xue3", "云": "yun2", "跑": "pao3", "慢": "man4",
 }
 
+# extend the curated core with the embedded several-thousand-character table
+# and word-level polyphone overrides (hanzi_pinyin_data.py) — full standalone
+# coverage of everyday/news text; curated entries above take precedence
+from personalized_text_to_speech_tpu.text.hanzi_pinyin_data import (  # noqa: E402
+    load_hanzi_pinyin as _load_hanzi_pinyin,
+    load_word_pinyin as _load_word_pinyin,
+)
+
+for _ch, _py in _load_hanzi_pinyin().items():
+    _HANZI_PINYIN.setdefault(_ch, _py)
+_WORD_PINYIN: Dict[str, List[str]] = _load_word_pinyin()
+
+import logging as _logging  # noqa: E402
+
+_logger = _logging.getLogger(__name__)
+_warned_hanzi: set = set()
+
 
 def hanzi_available() -> bool:
     """True when full-coverage hanzi→pinyin conversion is possible."""
@@ -284,9 +303,21 @@ def _word_to_bopomofo(word: str) -> List[str]:
         # pypinyin leaves 1st tone unmarked; append ˉ like the reference
         # (reference mandarin.py:252-253)
         return [re.sub(r"([ㄅ-ㄩ])$", r"\1ˉ", s) for s in sylls]
+    if word in _WORD_PINYIN:  # polyphone override at word granularity
+        return [pinyin_syllable_to_bopomofo(s) for s in _WORD_PINYIN[word]]
     out = []
     for ch in word:
         py = _HANZI_PINYIN.get(ch)
+        if py is None and re.match(r"[一-鿿]", ch):
+            # never drop a character silently: log once per char (the id
+            # mapper would otherwise skip it without a trace)
+            if ch not in _warned_hanzi:
+                _warned_hanzi.add(ch)
+                _logger.warning(
+                    "no pinyin reading for %r (U+%04X) — passed through; "
+                    "install pypinyin for exotic-character coverage",
+                    ch, ord(ch),
+                )
         out.append(pinyin_syllable_to_bopomofo(py) if py else ch)
     return out
 

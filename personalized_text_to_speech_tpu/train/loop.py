@@ -131,14 +131,24 @@ class Trainer:
             from personalized_text_to_speech_tpu.utils import torch_compat as tc
 
             state, _ = tc.load_torch_state_dict(pretrained_d)
-            d_params = tc.torch_to_flax(state, {"params": d_params})["params"]
+            tmpl = {"params": d_params}
+            if "spectral" in d_vars:
+                tmpl["spectral"] = d_vars["spectral"]
+            loaded = tc.torch_to_flax(state, tmpl)
+            d_params = loaded["params"]
+            if "spectral" in loaded:
+                d_vars = {**d_vars, "spectral": loaded["spectral"]}
             self.logger.info("loaded pretrained D from %s", pretrained_d)
 
         self.g_state = create_train_state(
             self.g_model.apply, g_params, hps, steps_per_epoch
         )
         self.d_state = create_train_state(
-            self.d_model.apply, d_params, hps, steps_per_epoch
+            self.d_model.apply, d_params, hps, steps_per_epoch,
+            # spectral-norm D carries its power-iteration u/v vectors
+            mutables=(
+                {"spectral": d_vars["spectral"]} if "spectral" in d_vars else None
+            ),
         )
         if self.mesh is not None:
             from personalized_text_to_speech_tpu.parallel.mesh import replicated

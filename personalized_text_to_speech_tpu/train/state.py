@@ -20,7 +20,14 @@ from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
-    """Standard flax TrainState; ``epoch`` tracked host-side."""
+    """Standard flax TrainState; ``epoch`` tracked host-side.
+
+    ``mutables`` carries non-parameter variable collections that the step
+    updates in-graph — today that is the spectral-norm power-iteration
+    state ``{"spectral": ...}`` of the ``use_spectral_norm=True``
+    discriminator; ``None`` for every other network."""
+
+    mutables: Optional[Any] = None
 
 
 def make_optimizer(
@@ -47,7 +54,7 @@ def make_optimizer(
 
 
 def create_train_state(
-    apply_fn, params, hps, steps_per_epoch: int
+    apply_fn, params, hps, steps_per_epoch: int, mutables: Optional[Any] = None
 ) -> TrainState:
     tx = make_optimizer(
         learning_rate=hps.train.learning_rate,
@@ -56,7 +63,9 @@ def create_train_state(
         lr_decay=hps.train.lr_decay,
         steps_per_epoch=steps_per_epoch,
     )
-    return TrainState.create(apply_fn=apply_fn, params=params, tx=tx)
+    return TrainState.create(
+        apply_fn=apply_fn, params=params, tx=tx, mutables=mutables
+    )
 
 
 def global_norm(tree: Any) -> jnp.ndarray:

@@ -54,14 +54,23 @@ class Batch(NamedTuple):
     sid: jnp.ndarray  # [B]
 
 
-def make_train_step(g_model, d_model, hps):
-    """Build the jittable (g_state, d_state, batch, rng) → (states, metrics)."""
+def make_train_step(g_model, d_model, hps, debug_grads: bool = False):
+    """Build the jittable (g_state, d_state, batch, rng) → (states, metrics).
+
+    ``debug_grads=True`` adds the raw gradient pytrees to the metrics under
+    ``_grads_g``/``_grads_d`` — used by the sharded-equivalence tests and
+    the multichip dryrun, because gradients compare exactly across
+    shardings while post-Adam parameters do not (at step 1 Adam's
+    bias-corrected update is ``±lr·sign(g)``, so reduction-order noise on a
+    near-zero gradient coordinate flips an entire ``lr``-sized step)."""
     mel_cfg = MelConfig.from_hparams(hps)
     seg_frames = hps.train.segment_size // hps.data.hop_length
     seg_samples = hps.train.segment_size
     hop = hps.data.hop_length
     c_mel = hps.train.c_mel
     c_kl = hps.train.c_kl
+
+    use_spectral = bool(hps.model.get("use_spectral_norm", False))
 
     def train_step(
         g_state: TrainState,
@@ -111,25 +120,39 @@ def make_train_step(g_model, d_model, hps):
         y_hat_sg = jax.lax.stop_gradient(y_hat)
 
         def d_loss_fn(d_params):
-            y_d_r, y_d_g, _, _ = d_model.apply(
-                {"params": d_params}, y_seg, y_hat_sg
-            )
+            if use_spectral:
+                # spectral-norm D: the power-iteration state advances one
+                # step here (torch iterates on every training forward); the
+                # G-step below reuses the updated estimate frozen
+                (y_d_r, y_d_g, _, _), new_vars = d_model.apply(
+                    {"params": d_params, **(d_state.mutables or {})},
+                    y_seg, y_hat_sg, mutable=["spectral"],
+                )
+            else:
+                y_d_r, y_d_g, _, _ = d_model.apply(
+                    {"params": d_params}, y_seg, y_hat_sg
+                )
+                new_vars = None
             loss_disc, r_losses, g_losses = losses.discriminator_loss(
                 y_d_r, y_d_g
             )
-            return loss_disc, (r_losses, g_losses)
+            return loss_disc, (r_losses, g_losses, new_vars)
 
-        (loss_disc, (d_r_losses, d_g_losses)), grads_d = jax.value_and_grad(
-            d_loss_fn, has_aux=True
-        )(d_state.params)
+        (
+            (loss_disc, (d_r_losses, d_g_losses, d_new_vars)),
+            grads_d,
+        ) = jax.value_and_grad(d_loss_fn, has_aux=True)(d_state.params)
         grad_norm_d = global_norm(grads_d)
         d_state = d_state.apply_gradients(grads=grads_d)
+        if use_spectral:
+            d_state = d_state.replace(mutables=dict(d_new_vars))
 
         # ---- 4. generator losses through the UPDATED discriminator -------
         def g_loss_from_out(g_out):
             y_hat_mel = mel_spectrogram(g_out["wav_hat"], mel_cfg)
             _, y_d_g, fmap_r, fmap_g = d_model.apply(
-                {"params": d_state.params}, y_seg, g_out["wav_hat"]
+                {"params": d_state.params, **(d_state.mutables or {})},
+                y_seg, g_out["wav_hat"],
             )
             loss_dur = jnp.sum(g_out["l_length"].astype(jnp.float32))
             loss_mel = (
@@ -182,6 +205,9 @@ def make_train_step(g_model, d_model, hps):
             metrics[f"loss/d_r/{i}"] = v
         for i, v in enumerate(d_g_losses):
             metrics[f"loss/d_g/{i}"] = v
+        if debug_grads:
+            metrics["_grads_g"] = grads_g
+            metrics["_grads_d"] = grads_d
         return g_state, d_state, metrics
 
     return train_step

@@ -90,8 +90,20 @@ def _module_path_to_torch(parts: Tuple[str, ...]) -> str:
         "embedding": "weight",
         "emb_rel_k": "emb_rel_k",
         "emb_rel_v": "emb_rel_v",
+        # spectral-norm triple (torch.nn.utils.spectral_norm): the raw
+        # weight param plus the power-iteration vectors, which live in our
+        # "spectral" variable collection (leaves "u"/"v" there are mapped
+        # by _spectral_path_to_torch, not here)
+        "w_orig": "weight_orig",
     }
     return ".".join(out + [leaf_map.get(leaf, leaf)])
+
+
+def _spectral_path_to_torch(parts: Tuple[str, ...]) -> str:
+    """Map a path in the ``spectral`` collection (leaves ``u``/``v``) to the
+    torch ``weight_u``/``weight_v`` buffer names."""
+    prefix = _module_path_to_torch(parts[:-1] + ("bias",)).rsplit(".", 1)[0]
+    return f"{prefix}.weight_{parts[-1]}"
 
 
 def _is_transposed_conv(parts: Tuple[str, ...]) -> bool:
@@ -104,7 +116,7 @@ def _to_flax_tensor(
     """Layout transform torch → flax for one leaf."""
     leaf = parts[-1]
     a = torch_arr
-    if leaf in ("kernel", "v"):
+    if leaf in ("kernel", "v", "w_orig"):
         if a.ndim == 3:
             if _is_transposed_conv(parts):
                 a = a.transpose(2, 0, 1)  # [in,out,k] → [k,in,out]
@@ -123,7 +135,7 @@ def _from_flax_tensor(parts: Tuple[str, ...], flax_arr: np.ndarray) -> np.ndarra
     """Layout transform flax → torch for one leaf."""
     leaf = parts[-1]
     a = flax_arr
-    if leaf in ("kernel", "v"):
+    if leaf in ("kernel", "v", "w_orig"):
         if a.ndim == 3:
             if _is_transposed_conv(parts):
                 a = a.transpose(1, 2, 0)  # [k,in,out] → [in,out,k]
@@ -207,15 +219,37 @@ def torch_to_flax(
                 new_flat[parts] = template
                 continue
         new_flat[parts] = jnp.asarray(arr, dtype=jnp.asarray(template).dtype)
+    new_tree = unflatten_dict(new_flat)
+    if "params" not in params_template:
+        unused = set(state_dict) - used
+        if unused:
+            logger.info("unused checkpoint keys: %s", sorted(unused)[:10])
+        return new_tree
+    result = {"params": new_tree}
+    if "spectral" in params_template:
+        # spectral-norm power-iteration vectors ride as plain 1-D buffers
+        spec_flat = {}
+        for parts, template in flatten_dict(params_template["spectral"]).items():
+            key = _spectral_path_to_torch(parts)
+            if key in state_dict:
+                used.add(key)
+                spec_flat[parts] = jnp.asarray(
+                    state_dict[key].reshape(-1),
+                    dtype=jnp.asarray(template).dtype,
+                )
+            else:
+                logger.info("%s is not in the checkpoint", key)
+                spec_flat[parts] = template
+        result["spectral"] = unflatten_dict(spec_flat)
     unused = set(state_dict) - used
     if unused:
         logger.info("unused checkpoint keys: %s", sorted(unused)[:10])
-    new_tree = unflatten_dict(new_flat)
-    return {"params": new_tree} if "params" in params_template else new_tree
+    return result
 
 
 def flax_to_torch(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
-    """Export our params as a reference-layout torch state dict (numpy)."""
+    """Export our params (and any spectral-norm state) as a
+    reference-layout torch state dict (numpy)."""
     tree = params["params"] if "params" in params else params
     out = {}
     flat = flatten_dict(tree)
@@ -229,6 +263,9 @@ def flax_to_torch(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
             if v is not None and np.asarray(v).ndim == 4:
                 arr = arr.reshape(-1, 1, 1, 1)
         out[key] = arr
+    if "spectral" in params:
+        for parts, value in flatten_dict(params["spectral"]).items():
+            out[_spectral_path_to_torch(parts)] = np.asarray(value)
     return out
 
 

@@ -31,6 +31,65 @@ class TestYin:
         assert voiced.mean() < 0.5
 
 
+class TestPyin:
+    def test_recovers_pitch(self):
+        sr = 22050
+        wav = synth_tone(f0=220.0, sr=sr)
+        f0, voiced, vprob = metrics.pyin_f0(wav, sr)
+        assert voiced.mean() > 0.8
+        est = np.median(f0[voiced])
+        assert abs(est - 220.0) < 5.0
+
+    def test_unvoiced_noise(self):
+        rng = np.random.default_rng(0)
+        wav = rng.normal(size=11025).astype(np.float32) * 0.1
+        f0, voiced, vprob = metrics.pyin_f0(wav, 22050)
+        assert voiced.mean() < 0.5
+        assert vprob.mean() < 0.6
+
+    def test_stable_voicing_where_yin_flips(self):
+        """A tone buried in noise: plain YIN's hard threshold flips the
+        voicing decision frame to frame; pYIN's Viterbi voicing path must
+        be markedly smoother (this is WHY the reference uses pYIN)."""
+        sr = 22050
+        rng = np.random.default_rng(7)
+        t = np.linspace(0, 1.2, int(sr * 1.2), endpoint=False)
+        wav = (
+            0.12 * np.sin(2 * np.pi * 170.0 * t)
+            + 0.26 * rng.normal(size=t.size)
+        ).astype(np.float32)
+
+        def flips(mask):
+            return int(np.sum(mask[1:] != mask[:-1]))
+
+        _, v_yin = metrics.yin_f0(wav, sr)
+        _, v_pyin, _ = metrics.pyin_f0(wav, sr)
+        assert flips(v_pyin) <= max(flips(v_yin) // 2, 2)
+
+    def test_tracks_glide(self):
+        """A slow pitch glide: the banded HMM transitions must follow it
+        (no sticking to one bin) without octave jumps."""
+        sr = 22050
+        t = np.linspace(0, 1.0, sr, endpoint=False)
+        inst = 150.0 * (2.0 ** t)  # one octave up over a second
+        phase = 2 * np.pi * np.cumsum(inst) / sr
+        wav = (0.4 * np.sin(phase)).astype(np.float32)
+        f0, voiced, _ = metrics.pyin_f0(wav, sr)
+        assert voiced.mean() > 0.8
+        fs = f0[voiced]
+        # monotone-ish rise across the utterance, no octave error at ends
+        assert 130.0 < np.median(fs[: len(fs) // 4]) < 185.0
+        assert 240.0 < np.median(fs[-len(fs) // 4 :]) < 330.0
+
+    def test_f0_metrics_default_pyin(self):
+        sr = 22050
+        a = synth_tone(200.0, sr=sr)
+        b = synth_tone(210.0, sr=sr)
+        m = metrics.F0_metrics(a, b, sr)
+        assert 5.0 < m["f0_rmse"] < 30.0
+        assert m["vde"] < 0.2
+
+
 class TestPairMetrics:
     def test_identity_is_best(self):
         sr = 22050

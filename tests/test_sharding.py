@@ -82,6 +82,118 @@ class TestShardedTrainStep:
             got = np.asarray(jax.jit(lambda a: mel_spectrogram(a, cfg))(y_s))
         np.testing.assert_allclose(want, got, atol=1e-5)
 
+    def test_real_gan_step_sharded_equals_single(self, mesh8):
+        """THE data-parallel correctness test: the actual fused GAN train
+        step (generator fwd + MAS + D update + G update through vjp) run on
+        the 8-device mesh must produce numerically the same GRADIENTS and
+        loss metrics as the identical unsharded step on one device.  A
+        sign-flipped psum, wrong mean/sum normalization, or a wrong batch
+        axis shows up here as a gradient divergence.  Gradients are the
+        comparison target (not post-Adam params): at step 1 Adam's
+        bias-corrected update is ±lr·sign(g), so fp reduction-order noise
+        on near-zero gradient coordinates flips whole lr-sized steps —
+        params get only a loose lr-scale sanity bound."""
+        from personalized_text_to_speech_tpu.models.discriminator import (
+            MultiPeriodDiscriminator,
+        )
+        from personalized_text_to_speech_tpu.train.state import (
+            create_train_state,
+        )
+        from personalized_text_to_speech_tpu.train.step import (
+            Batch,
+            make_train_step,
+        )
+        from tests.test_model import tiny_model
+        from tests.test_train import HOP, tiny_hps
+
+        hps = tiny_hps()
+        g_model = tiny_model()
+        d_model = MultiPeriodDiscriminator(periods=(2, 3))
+
+        rng = jax.random.PRNGKey(0)
+        b, tt, ts = 8, 6, 24
+        g_params = g_model.init(
+            {"params": rng, "noise": rng, "slice": rng, "dropout": rng},
+            jnp.ones((2, tt), jnp.int32), jnp.array([6, 5]),
+            jnp.zeros((2, ts, 33)), jnp.array([24, 20]), jnp.array([0, 1]),
+        )["params"]
+        wav0 = jnp.zeros((2, 8 * HOP))
+        d_params = d_model.init(rng, wav0, wav0)["params"]
+
+        def fresh_states():
+            return (
+                create_train_state(g_model.apply, g_params, hps, 4),
+                create_train_state(d_model.apply, d_params, hps, 4),
+            )
+
+        rng_np = np.random.default_rng(3)
+        t = np.linspace(0, 8, ts * HOP)
+        wav_data = np.stack(
+            [
+                0.5 * np.sin(2 * np.pi * (20 + 3 * i) * t)
+                for i in range(b)
+            ]
+        ).astype(np.float32)
+        batch = Batch(
+            text=jnp.asarray(rng_np.integers(1, 10, (b, tt)), jnp.int32),
+            text_lengths=jnp.asarray(
+                rng_np.integers(4, tt + 1, (b,)), jnp.int32
+            ),
+            wav=jnp.asarray(wav_data),
+            wav_lengths=jnp.asarray(
+                (rng_np.integers(ts - 6, ts + 1, (b,))) * HOP, jnp.int32
+            ),
+            sid=jnp.asarray(rng_np.integers(0, 4, (b,)), jnp.int32),
+        )
+
+        step = jax.jit(
+            make_train_step(g_model, d_model, hps, debug_grads=True),
+            donate_argnums=(),
+        )
+
+        # --- single device -------------------------------------------------
+        g1, d1 = fresh_states()
+        g1, d1, m1 = step(g1, d1, batch, jax.random.PRNGKey(100))
+
+        # --- 8-device mesh, batch sharded, params replicated ----------------
+        bs = batch_sharding(mesh8)
+        repl = replicated(mesh8)
+        g8, d8 = fresh_states()
+        g8 = jax.device_put(g8, repl)
+        d8 = jax.device_put(d8, repl)
+        batch_s = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, bs), batch
+        )
+        with mesh8:
+            g8, d8, m8 = step(g8, d8, batch_s, jax.random.PRNGKey(100))
+
+        for k in ("loss/g/total", "loss/d/total", "grad_norm_g", "grad_norm_d"):
+            np.testing.assert_allclose(
+                float(m1[k]), float(m8[k]), rtol=2e-4, atol=2e-4, err_msg=k
+            )
+        # gradient trees must match tightly (psum over shards == batch sum)
+        for name in ("_grads_g", "_grads_d"):
+            leaves1 = jax.tree_util.tree_leaves(m1[name])
+            leaves8 = jax.tree_util.tree_leaves(m8[name])
+            assert len(leaves1) == len(leaves8)
+            scale = max(
+                float(np.abs(np.asarray(l)).max()) for l in leaves1
+            )
+            for a, bv in zip(leaves1, leaves8):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(bv),
+                    rtol=1e-4, atol=1e-6 * max(scale, 1.0), err_msg=name,
+                )
+        # params after the Adam update: loose lr-scale sanity bound only
+        lr = hps.train.learning_rate
+        for a, bv in zip(
+            jax.tree_util.tree_leaves(g1.params)
+            + jax.tree_util.tree_leaves(d1.params),
+            jax.tree_util.tree_leaves(g8.params)
+            + jax.tree_util.tree_leaves(d8.params),
+        ):
+            assert float(np.abs(np.asarray(a) - np.asarray(bv)).max()) < 3 * lr
+
     def test_mas_shards_over_batch(self, mesh8):
         from personalized_text_to_speech_tpu.ops.mas import (
             maximum_path,

@@ -148,6 +148,57 @@ class TestMandarin:
         ipa = mandarin.pinyin_to_ipa("si4")
         assert "sɹ" in ipa
 
+    # news-register corpus: the fallback table must convert EVERY hanzi —
+    # zero silent drops (round-1 gap: ~400-char dict lost uncommon hanzi)
+    _NEWS = [
+        "国务院新闻办公室今天举行发布会，介绍经济运行情况。",
+        "科学家发现了一颗围绕遥远恒星运转的行星，表面可能存在液态水。",
+        "今年夏季气温偏高，多地发布高温橙色预警，提醒市民注意防暑降温。",
+        "铁路部门增开旅客列车，满足暑期学生和游客的出行需求。",
+        "博物馆推出夜间开放活动，观众可以在晚上参观珍贵文物展览。",
+        "医生建议大家保持规律作息，适量运动，均衡饮食，增强身体素质。",
+        "人工智能技术正在改变制造业、金融业和医疗行业的工作方式。",
+        "环境保护部门加强对河流湖泊水质的监测，严厉打击违法排污行为。",
+        "学校组织学生参加植树活动，培养青少年爱护自然的意识。",
+        "消防队员迅速赶到现场扑灭大火，没有造成人员伤亡。",
+        "农民利用无人机喷洒农药，提高了田间管理的效率。",
+        "城市地铁线路不断延伸，缓解了早晚高峰的交通压力。",
+    ]
+
+    def test_news_corpus_full_coverage(self):
+        for sent in self._NEWS:
+            bopo = mandarin.chinese_to_bopomofo(sent)
+            leftover = [ch for ch in bopo if "一" <= ch <= "鿿"]
+            assert leftover == [], f"dropped hanzi {leftover!r} in {sent!r}"
+
+    def test_news_corpus_ipa_in_vocab(self):
+        known = set(SYMBOLS)
+        for sent in self._NEWS:
+            ipa = mandarin.chinese_to_ipa(sent)
+            unknown = [ch for ch in ipa if ch not in known]
+            assert unknown == [], f"unmapped {unknown!r} from {sent!r}"
+
+    def test_polyphone_word_overrides(self):
+        # 银行 = yin2 HANG2 (not xing2); 音乐 = yin1 YUE4 (not le4)
+        bopo = mandarin.chinese_to_bopomofo("银行")
+        assert "ㄏㄤˊ" in bopo
+        bopo = mandarin.chinese_to_bopomofo("音乐")
+        assert "ㄩㄝˋ" in bopo
+        bopo = mandarin.chinese_to_bopomofo("快乐")
+        assert "ㄌㄜˋ" in bopo
+
+    def test_unknown_hanzi_logged_not_silent(self, caplog):
+        import logging as _logging
+
+        rare = "龘"  # far outside the embedded table
+        with caplog.at_level(
+            _logging.WARNING,
+            logger="personalized_text_to_speech_tpu.text.mandarin",
+        ):
+            mandarin._warned_hanzi.discard(rare)
+            mandarin.chinese_to_bopomofo(rare)
+        assert any("no pinyin reading" in r.message for r in caplog.records)
+
 
 class TestJapanese:
     def test_kana_fallback(self):
