@@ -9,8 +9,13 @@ The reference requires ``pyopenjtalk``; here it is optional:
 
 * with ``pyopenjtalk`` installed, the accent-aware path matches the reference,
 * without it, a built-in kana→phoneme converter handles hiragana/katakana text
-  (no pitch-accent marks, kanji passed through untranscribed) so the pipeline
-  stays functional standalone.
+  WITH estimated Tokyo pitch-accent arrows: mora segmentation + an embedded
+  accent-type dictionary of common words (particle suffixes stripped) with a
+  heiban (type-0, flat) default — the single most common accent class.  The
+  arrow placement semantics match the reference exactly (``↓`` after the
+  accent-nucleus mora when the phrase continues, ``↑`` after the first mora
+  of a non-atamadaka phrase of ≥2 moras, reference ``japanese.py:99-109``).
+  Kanji remain untranscribed (reading dictionaries need pyopenjtalk).
 """
 
 from __future__ import annotations
@@ -86,8 +91,10 @@ def _kata_to_hira(text: str) -> str:
     return "".join(out)
 
 
-def _kana_to_phonemes(text: str) -> str:
-    """Hiragana/katakana → openjtalk-style phoneme string (no accent info)."""
+def _kana_to_moras(text: str) -> list:
+    """Hiragana/katakana → list of openjtalk-style phoneme strings, ONE
+    PER MORA (yoon merges with its base kana; っ/ん/ー are their own
+    moras — the units Tokyo pitch accent counts)."""
     text = _kata_to_hira(text)
     out = []
     i = 0
@@ -114,7 +121,137 @@ def _kana_to_phonemes(text: str) -> str:
             continue
         out.append(ascii_fold(ch))
         i += 1
-    return "".join(out)
+    return out
+
+
+def _kana_to_phonemes(text: str) -> str:
+    """Hiragana/katakana → openjtalk-style phoneme string (no accent info)."""
+    return "".join(_kana_to_moras(text))
+
+
+# --------------------------------------------------------------------------
+# Fallback pitch-accent estimation (Tokyo dialect)
+#
+# Accent type N = index of the accent-nucleus mora (0 = heiban, no fall).
+# Dictionary of common words keyed by hiragana, high-confidence entries
+# only; lookups strip trailing particles so 「あめが」 matches 「あめ」 and
+# the particle moras ride the same phrase.  Unknown phrases default to
+# heiban — the most common class and the least-wrong guess (a spurious ↓
+# is far more audible than a missing one).
+# --------------------------------------------------------------------------
+
+_ACCENT_DICT = {
+    # type 1 (atamadaka: fall after the first mora)
+    "あめ": 1, "ねこ": 1, "てんき": 1, "めがね": 1, "ほん": 1, "はし": 1,
+    "かさ": 1, "うみ": 1, "みどり": 1, "じしょ": 1, "いのち": 1,
+    "らいげつ": 1, "ばんぐみ": 1, "えき": 1, "ちず": 1, "にく": 1,
+    "しろ": 1, "あき": 1, "ふたり": 1, "まいにち": 1, "まいあさ": 1,
+    "げんき": 1, "てがみ": 1, "ぎゅうにく": 1,
+    # type 2
+    "やま": 2, "かわ": 2, "はな": 2, "ふゆ": 2, "いぬ": 2, "にほん": 2,
+    "こころ": 2, "むすめ": 2, "ひだり": 2, "あなた": 2, "あたま": 2,
+    "ゆき": 2, "なつ": 2, "はる": 2, "まち": 2, "みせ": 2, "やすみ": 2,
+    "たべもの": 2, "のみもの": 2, "くに": 2, "いけ": 2, "うた": 2,
+    # type 3
+    "せんせい": 3, "おとこ": 3, "おんな": 3, "ことば": 3, "こうえん": 3,
+    "びょういん": 3, "だいがく": 3, "めざまし": 3, "はたち": 3,
+    # type 4
+    "おとうと": 4, "いもうと": 4, "みなみ": 3,
+    # type 0 (heiban — listed so particles attach without dictionary miss)
+    "わたし": 0, "さくら": 0, "とけい": 0, "くるま": 0, "さかな": 0,
+    "がっこう": 0, "かばん": 0, "でんわ": 0, "ともだち": 0, "みず": 0,
+    "にほんご": 0, "えいご": 0, "ぎんこう": 0, "かいしゃ": 0, "こども": 0,
+    "ごはん": 0, "おちゃ": 0, "さとう": 0, "しんぶん": 0, "つくえ": 0,
+    "ねだん": 0, "はがき": 0, "ひこうき": 0, "ふく": 0, "へや": 0,
+    "ほんや": 0, "まど": 0, "みち": 0, "むら": 0, "やさい": 0,
+}
+
+# particles that attach to the preceding accent phrase
+_PARTICLES = (
+    "までは", "からは", "には", "とは", "では", "へは",
+    "まで", "から", "より", "ほど", "だけ", "でも", "しか",
+    "は", "が", "を", "に", "で", "と", "も", "の", "へ", "や", "ね", "よ",
+)
+
+
+# accentless endings (copula/polite forms) that ride the preceding word's
+# accent phrase, like particles do
+_ENDINGS = (
+    "でした", "ました", "ません", "ましょう",
+    "です", "ます", "たい", "だ",
+)
+
+
+def _accent_type(phrase_hira: str) -> int:
+    """Accent-nucleus mora index for a hiragana phrase (0 = heiban)."""
+    if phrase_hira in _ACCENT_DICT:
+        return _ACCENT_DICT[phrase_hira]
+    for p in _PARTICLES + _ENDINGS:  # longest first within each group
+        if phrase_hira.endswith(p) and phrase_hira[: -len(p)] in _ACCENT_DICT:
+            return _ACCENT_DICT[phrase_hira[: -len(p)]]
+    return 0
+
+
+def _segment_accent_phrases(hira: str) -> list:
+    """Greedy longest-match split of a kana run into accent phrases: a
+    dictionary word plus any attached particles/endings forms one phrase;
+    unmatched spans between matches form their own (heiban) phrases.  A
+    lightweight stand-in for openjtalk's accent-phrase analysis."""
+    words = sorted(_ACCENT_DICT, key=len, reverse=True)
+    attach = sorted(_PARTICLES + _ENDINGS, key=len, reverse=True)
+    phrases = []
+    i = start = 0
+    n = len(hira)
+    while i < n:
+        hit = None
+        for w in words:
+            if hira.startswith(w, i):
+                hit = w
+                break
+        if hit is None:
+            i += 1
+            continue
+        if i > start:
+            phrases.append(hira[start:i])
+        j = i + len(hit)
+        while True:  # absorb trailing particles/endings
+            for a in attach:
+                if hira.startswith(a, j):
+                    j += len(a)
+                    break
+            else:
+                break
+        phrases.append(hira[i:j])
+        i = start = j
+    if start < n:
+        phrases.append(hira[start:])
+    return phrases
+
+
+def _kana_to_phonemes_with_accent(text: str) -> str:
+    """Fallback G2P WITH estimated pitch-accent arrows, mirroring the
+    reference's placement rules (reference ``japanese.py:99-109``): ``↓``
+    after the nucleus mora when another mora follows in the phrase; ``↑``
+    after the first mora of a ≥2-mora phrase unless the fall already
+    happened there (atamadaka)."""
+    hira = _kata_to_hira(text)
+    pieces = []
+    for phrase in _segment_accent_phrases(hira):
+        moras = _kana_to_moras(phrase)
+        n = len(moras)
+        if n == 0:
+            continue
+        nucleus = _accent_type(phrase)
+        out = []
+        for idx, mora in enumerate(moras, start=1):  # 1-based mora index
+            out.append(mora)
+            if idx == nucleus and idx < n:
+                out.append("↓")
+            elif idx == 1 and nucleus != 1 and n >= 2:
+                out.append("↑")
+        pieces.append("".join(out))
+    # accent-phrase boundaries surface as spaces (reference japanese.py:103)
+    return " ".join(pieces)
 
 
 # --------------------------------------------------------------------------
@@ -161,7 +298,7 @@ def japanese_to_romaji_with_accent(text: str) -> str:
             if _pyopenjtalk is not None:
                 out += _openjtalk_romaji_with_accent(sentence)
             else:
-                out += _kana_to_phonemes(sentence)
+                out += _kana_to_phonemes_with_accent(sentence)
         if i < len(marks):
             out += ascii_fold(marks[i]).replace(" ", "")
     return out

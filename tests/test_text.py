@@ -202,9 +202,10 @@ class TestMandarin:
 
 class TestJapanese:
     def test_kana_fallback(self):
-        # naive kana reading (no particle-は→wa disambiguation without openjtalk)
+        # naive kana reading (no particle-は→wa disambiguation without
+        # openjtalk); heiban rise arrow after the first mora
         romaji = japanese.japanese_to_romaji_with_accent("こんにちは")
-        assert romaji.startswith("koN") and "ʧi" in romaji
+        assert romaji.startswith("ko↑N") and "ʧi" in romaji
 
     def test_ipa2(self):
         ipa = japanese.japanese_to_ipa2("こんにちは")
@@ -222,6 +223,59 @@ class TestJapanese:
     def test_katakana(self):
         romaji = japanese.japanese_to_romaji_with_accent("テスト")
         assert "te" in romaji and "to" in romaji
+
+    # fallback pitch accent (round-1 gap: fallback emitted no ↑/↓, losing
+    # prosody symbols the pretrained checkpoints were trained on)
+    def test_accent_arrows_heiban_default(self):
+        # unknown phrase → heiban: rise after mora 1, no fall
+        romaji = japanese.japanese_to_romaji_with_accent("わたしたち")
+        assert "↑" in romaji and "↓" not in romaji
+        assert romaji.index("↑") == romaji.index("wa") + 2
+
+    def test_accent_arrows_atamadaka(self):
+        # 雨(あめ) type 1: fall after first mora, no rise
+        romaji = japanese.japanese_to_romaji_with_accent("あめ")
+        assert romaji == "a↓me"
+
+    def test_accent_arrows_nakadaka(self):
+        # 先生(せんせい) type 3: rise after mora 1, fall after mora 3
+        romaji = japanese.japanese_to_romaji_with_accent("せんせい")
+        assert romaji == "se↑Nse↓e" or romaji == "se↑Nse↓i"
+
+    def test_accent_odaka_no_phrase_final_fall(self):
+        # 山(やま) type 2 = final mora: the reference only emits ↓ when the
+        # phrase CONTINUES past the nucleus (japanese.py:105-106)
+        romaji = japanese.japanese_to_romaji_with_accent("やま")
+        assert "↓" not in romaji and "↑" in romaji
+        # with a particle the fall surfaces: やまが → ya↑ma↓ga
+        romaji = japanese.japanese_to_romaji_with_accent("やまが")
+        assert romaji == "ya↑ma↓ga"
+
+    def test_accent_particle_stripping(self):
+        # あめは matches 雨(1) through the particle suffix
+        romaji = japanese.japanese_to_romaji_with_accent("あめは")
+        assert romaji.startswith("a↓me")
+
+    def test_accent_arrows_survive_to_ipa2_vocab(self):
+        ipa = japanese.japanese_to_ipa2("わたしはせんせいです")
+        assert "↑" in ipa
+        known = set(SYMBOLS)
+        unknown = [ch for ch in ipa if ch not in known]
+        assert unknown == [], f"unmapped: {unknown!r} in {ipa!r}"
+
+    def test_single_mora_no_arrows(self):
+        romaji = japanese.japanese_to_romaji_with_accent("え")
+        assert "↑" not in romaji and "↓" not in romaji
+
+    def test_accent_phrase_segmentation(self):
+        # dictionary words inside a longer run split into their own accent
+        # phrases (space boundary, reference japanese.py:103) and keep
+        # their accent: 雨(1)+が then the unknown remainder as heiban
+        romaji = japanese.japanese_to_romaji_with_accent("あめがふっています")
+        assert romaji.startswith("a↓mega ")
+        # 先生(3)+です rides one phrase after the わたしは phrase
+        romaji = japanese.japanese_to_romaji_with_accent("わたしはせんせいです")
+        assert "se↑Nse↓idesu" in romaji.replace(" ", " ")
 
 
 class TestKorean:
