@@ -414,12 +414,24 @@ class TTSEngine:
         speaker=0,
         language: Optional[str] = None,
         speed: float = 1.0,
+        chunk_frames: Optional[int] = None,
         **kwargs,
     ):
         """Generator yielding ``(sr, wav)`` per sentence as soon as each is
         ready, pipelining the next sentence's synthesis against the current
         fetch — streaming playback starts after the first sentence instead
-        of after the whole document."""
+        of after the whole document.
+
+        With ``chunk_frames`` set, each sentence additionally streams
+        WITHIN itself via ``stream_tts`` (fixed-frame chunks, halo-exact
+        seams) — first audio lands after one chunk, not one sentence."""
+        if chunk_frames is not None:
+            for sent in self.split_sentences(text) or [text]:
+                yield from self.stream_tts(
+                    sent, speaker=speaker, language=language, speed=speed,
+                    chunk_frames=chunk_frames, **kwargs,
+                )
+            return
         sentences = self.split_sentences(text) or [text]
         sid = self.speaker_id(speaker)
         pending = self.submit_ids(
@@ -462,6 +474,129 @@ class TTSEngine:
             if i != len(wavs) - 1:
                 pieces.append(pause)
         return self.sampling_rate, np.concatenate(pieces)
+
+    # ------------------------------------------------------------------
+    # within-sentence streaming: the latent canvas z_p is per-frame
+    # independent (only the flow reverse + HiFi-GAN tail are convolutional),
+    # so audio streams out in fixed-size frame chunks decoded with a halo
+    # overlap — time-to-first-audio stops scaling with sentence length
+    # ------------------------------------------------------------------
+    def _expand_fn(self, t_bucket: int, f_bucket: int, halo: int, chunk: int):
+        key = ("expand", t_bucket, f_bucket, halo, chunk)
+        if key not in self._decode_fns:
+            model = self.model
+
+            @functools.partial(
+                jax.jit, static_argnames=("max_len", "halo", "chunk")
+            )
+            def run(params, w_ceil, m_p, logs_p, x_mask, noise_scale, rng,
+                    max_len, halo, chunk):
+                rng = jax.random.fold_in(_as_key(rng), 1)
+                prior_noise = jax.random.normal(
+                    rng, (m_p.shape[0], max_len, m_p.shape[-1]),
+                    dtype=jnp.float32,
+                )
+                z_p, y_mask, y_lengths = model.apply(
+                    params, w_ceil, m_p, logs_p, x_mask,
+                    noise_scale=noise_scale, max_len=max_len,
+                    prior_noise=prior_noise, method=model.infer_expand,
+                )
+                # pad so every chunk slice [start, start+chunk+2H) is in
+                # bounds without dynamic_slice clamping: halo zeros in
+                # front, halo+chunk zeros behind
+                z_p = jnp.pad(z_p, ((0, 0), (halo, halo + chunk), (0, 0)))
+                y_mask = jnp.pad(
+                    y_mask, ((0, 0), (halo, halo + chunk), (0, 0))
+                )
+                return z_p, y_mask, y_lengths
+
+            self._decode_fns[key] = functools.partial(
+                run, max_len=f_bucket, halo=halo, chunk=chunk
+            )
+        return self._decode_fns[key]
+
+    def _chunk_decode_fn(self, halo: int, chunk: int):
+        key = ("chunk", halo, chunk)
+        if key not in self._decode_fns:
+            model = self.model
+            size = chunk + 2 * halo
+
+            @jax.jit
+            def run(params, z_p_pad, y_mask_pad, sid, start):
+                # start is in PADDED coordinates (= original start index)
+                zs = jax.lax.dynamic_slice_in_dim(z_p_pad, start, size, 1)
+                ms = jax.lax.dynamic_slice_in_dim(y_mask_pad, start, size, 1)
+                wav = model.apply(
+                    params, zs, ms, sid, method=model.decode_frames
+                )
+                return wav
+
+            self._decode_fns[key] = run
+        return self._decode_fns[key]
+
+    def stream_tts(
+        self,
+        text: str,
+        speaker=0,
+        language: Optional[str] = None,
+        speed: float = 1.0,
+        noise_scale: float = 0.667,
+        noise_scale_w: float = 0.8,
+        chunk_frames: int = 96,
+        halo_frames: int = 64,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Generator yielding ``(sr, wav_piece)`` every ``chunk_frames``
+        frames (~``chunk_frames·hop/sr`` seconds of audio) WITHIN a
+        sentence.  The pieces concatenate to exactly the monolithic
+        render (seam test in ``tests/test_engine.py``); the halo covers
+        the flow + HiFi-GAN receptive field across chunk edges."""
+        if rng is None:
+            rng = self._next_rng()
+        all_ids = self.text_to_ids(text, language)
+        sid = np.asarray([self.speaker_id(speaker)], np.int32)
+        hop = self.hop_length
+        # over-bucket text streams piece by piece — never truncated
+        for ids in _chunk_ids(all_ids, self.text_buckets[-1]):
+            t_bucket = _next_bucket(len(ids), self.text_buckets)
+            x = np.zeros((1, t_bucket), dtype=np.int32)
+            x[0, : len(ids)] = ids
+            x_lengths = np.asarray([len(ids)], np.int32)
+
+            w_ceil, m_p, logs_p, x_mask, n_frames_dev = self._encode_fn(
+                t_bucket
+            )(
+                self.params, x, x_lengths, sid,
+                np.float32(1.0 / speed), np.float32(noise_scale_w), rng,
+            )
+            n_frames = int(n_frames_dev)
+            f_bucket = _next_bucket(max(n_frames, 1), self.frame_buckets)
+            n_frames = min(n_frames, f_bucket)
+            z_p_pad, y_mask_pad, _ = self._expand_fn(
+                t_bucket, f_bucket, halo_frames, chunk_frames
+            )(self.params, w_ceil, m_p, logs_p, x_mask,
+              np.float32(noise_scale), rng)
+
+            decode = self._chunk_decode_fn(halo_frames, chunk_frames)
+            pending = None  # submit chunk i+1 before fetching chunk i
+            pending_take = 0
+            for start in range(0, n_frames, chunk_frames):
+                handle = decode(
+                    self.params, z_p_pad, y_mask_pad, sid, np.int32(start)
+                )
+                take = min(chunk_frames, n_frames - start)
+                if pending is not None:
+                    wav = np.asarray(jax.device_get(pending))
+                    yield self.sampling_rate, wav[
+                        0,
+                        halo_frames * hop : (halo_frames + pending_take) * hop,
+                    ]
+                pending, pending_take = handle, take
+            if pending is not None:
+                wav = np.asarray(jax.device_get(pending))
+                yield self.sampling_rate, wav[
+                    0, halo_frames * hop : (halo_frames + pending_take) * hop
+                ]
 
     # ------------------------------------------------------------------
     # fused low-latency path: encoder+duration+decode in ONE program, no

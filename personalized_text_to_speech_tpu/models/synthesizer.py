@@ -542,7 +542,30 @@ class SynthesizerTrn(nn.Module):
         prior_noise: Optional[jnp.ndarray] = None,
     ):
         """Durations + prior stats → waveform canvas of ``max_len`` frames."""
-        g = self._speaker(sid)
+        z_p, y_mask, y_lengths = self.infer_expand(
+            w_ceil, m_p, logs_p, x_mask,
+            noise_scale=noise_scale, max_len=max_len, prior_noise=prior_noise,
+        )
+        o = self.decode_frames(z_p, y_mask, sid)
+        hop = o.shape[1] // max_len
+        sample_mask = sequence_mask(y_lengths * hop, o.shape[1])
+        return o * sample_mask, y_lengths
+
+    def infer_expand(
+        self,
+        w_ceil: jnp.ndarray,
+        m_p: jnp.ndarray,
+        logs_p: jnp.ndarray,
+        x_mask: jnp.ndarray,
+        noise_scale: float = 0.667,
+        max_len: int = 1000,
+        prior_noise: Optional[jnp.ndarray] = None,
+    ):
+        """Durations + prior stats → sampled latent canvas ``z_p`` (the
+        per-frame part of ``infer_decode``, before the convolutional
+        flow/vocoder).  Split out so serving can stream: ``z_p`` frames are
+        independent, so chunks of it (with halo) can run through
+        ``decode_frames`` incrementally."""
         y_lengths = jnp.clip(
             jnp.sum(w_ceil, axis=-1), 1, max_len
         ).astype(jnp.int32)
@@ -567,11 +590,22 @@ class SynthesizerTrn(nn.Module):
             * jnp.exp(logs_p_exp)
             * noise_scale
         )
+        return z_p, y_mask, y_lengths
+
+    def decode_frames(
+        self,
+        z_p: jnp.ndarray,
+        y_mask: jnp.ndarray,
+        sid: Optional[jnp.ndarray] = None,
+    ):
+        """Latent frames → waveform: reverse flow + HiFi-GAN (the
+        convolutional tail of ``infer_decode``).  Chunk-safe: running a
+        halo-padded slice of ``z_p``/``y_mask`` reproduces the monolithic
+        output inside the halo (both nets are masked convs, so zero
+        padding at slice edges matches canvas-edge behavior)."""
+        g = self._speaker(sid)
         z = self.flow(z_p, y_mask, g=g, reverse=True)
-        o = self.dec(z * y_mask, g=g, x_mask=y_mask)[..., 0]
-        hop = o.shape[1] // max_len
-        sample_mask = sequence_mask(y_lengths * hop, o.shape[1])
-        return o * sample_mask, y_lengths
+        return self.dec(z * y_mask, g=g, x_mask=y_mask)[..., 0]
 
     # ------------------------------------------------------------------
     # voice conversion (reference models.py:525-533)

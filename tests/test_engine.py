@@ -268,6 +268,39 @@ class TestRobustness:
         assert ids == want
 
 
+class TestStreaming:
+    def test_stream_matches_monolithic(self, engine):
+        """Chunked flow+vocoder with halo must concatenate to exactly the
+        monolithic render — the seam-correctness contract."""
+        k = jax.random.PRNGKey(11)
+        text = "The quick brown fox."  # fits one text bucket → exact parity
+        sr, full = engine.tts(text, speaker=0, language="English", rng=k)
+        pieces = [
+            w
+            for _, w in engine.stream_tts(
+                text, speaker=0, language="English", rng=k,
+                chunk_frames=24, halo_frames=48,
+            )
+        ]
+        assert len(pieces) >= 2, "want multiple chunks for a seam test"
+        stream = np.concatenate(pieces)
+        assert stream.shape == full.shape
+        np.testing.assert_allclose(stream, full, atol=2e-4)
+
+    def test_stream_first_chunk_short(self, engine):
+        """First audio piece arrives after one chunk, not the whole render."""
+        k = jax.random.PRNGKey(12)
+        gen = engine.stream_tts(
+            "Speech synthesis converts text into audible speech today.",
+            speaker=1, language="English", rng=k,
+            chunk_frames=16, halo_frames=32,
+        )
+        sr, first = next(gen)
+        assert len(first) == 16 * engine.hop_length
+        rest = sum(len(w) for _, w in gen)
+        assert rest > 0
+
+
 class TestVoiceConversion:
     def test_vc_end_to_end(self, engine):
         rng = np.random.default_rng(0)
@@ -322,7 +355,7 @@ class TestCheckpointLoading:
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
-class TestStreaming:
+class TestSentenceStreaming:
     def test_stream_long_form_order(self, engine):
         chunks = list(engine.stream_long_form(
             "One two. Three four! Five six?", speaker="alice",

@@ -124,6 +124,14 @@ def serve_http(eng, args):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length > args.max_body_mb * 1024 * 1024:
+                    # drain in constant memory so the client sees the 413
+                    # instead of a broken pipe, then reject
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 65536))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
                     self._send(413, json.dumps(
                         {"error": f"body exceeds {args.max_body_mb} MiB cap"}
                     ).encode())
@@ -143,6 +151,51 @@ def serve_http(eng, args):
                             speed=speed,
                         )
                     self._send(200, wav_bytes(sr, wav), "audio/wav")
+                elif self.path == "/tts_stream":
+                    # chunked-transfer streaming: WAV header with unknown
+                    # length, then PCM16 pieces as the engine produces
+                    # them (within-sentence chunks, halo-exact seams)
+                    import struct
+
+                    import numpy as np
+
+                    req = json.loads(body or b"{}")
+                    text = req["text"]
+                    speaker = req.get("speaker", 0)
+                    language = req.get("language", None)
+                    speed = float(req.get("speed", 1.0))
+                    chunk_frames = int(req.get("chunk_frames", 96))
+                    sr = eng.sampling_rate
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def emit(b: bytes):
+                        self.wfile.write(f"{len(b):X}\r\n".encode())
+                        self.wfile.write(b)
+                        self.wfile.write(b"\r\n")
+
+                    # streaming WAV header: 0xFFFFFFFF RIFF/data sizes
+                    hdr = (
+                        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                        + b"fmt " + struct.pack(
+                            "<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16
+                        )
+                        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+                    )
+                    emit(hdr)
+                    with synth_lock:
+                        for _, piece in eng.stream_long_form(
+                            text, speaker=speaker, language=language,
+                            speed=speed, chunk_frames=chunk_frames,
+                        ):
+                            pcm = (
+                                np.clip(piece, -1.0, 1.0) * 32767.0
+                            ).astype("<i2").tobytes()
+                            if pcm:
+                                emit(pcm)
+                    self.wfile.write(b"0\r\n\r\n")
                 elif self.path == "/vc":
                     # voice conversion: wav body, speakers via query-ish JSON
                     # header X-VC: {"source": ..., "target": ...}
