@@ -59,8 +59,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put every array in a batch pytree with its batch dim sharded."""
+    """Device-put every array in a batch pytree with its batch dim sharded.
+
+    Single process: a plain sharded ``device_put``.  Multi-process (pod
+    slice / CPU fleet): each process holds only its rank's rows (the
+    ``BucketBatcher`` yields per-shard batches, reference
+    ``data_utils.py:170-276`` semantics), so the global array is assembled
+    with ``make_array_from_process_local_data`` — the global batch is
+    ``local_batch × process_count`` along the sharded axis."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda a: jax.device_put(a, sharding), batch
-    )
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sharding), batch
+        )
+
+    def _globalize(a):
+        a = np.asarray(a)
+        global_shape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, a, global_shape)
+
+    return jax.tree_util.tree_map(_globalize, batch)

@@ -61,9 +61,17 @@ class Trainer:
         from personalized_text_to_speech_tpu.utils.profiling import check_git_hash
 
         check_git_hash(model_dir)
-        self.writer = logging_utils.SummaryWriter(model_dir)
-        self.writer_eval = logging_utils.SummaryWriter(
-            os.path.join(model_dir, "eval")
+        # multi-process (pod) runs: rank 0 owns TensorBoard, like the
+        # reference's rank-0-only writers (finetune_speaker_v2.py:77-80);
+        # checkpoint saves stay collective (Orbax coordinates all hosts)
+        self.is_primary = jax.process_index() == 0
+        self.writer = (
+            logging_utils.SummaryWriter(model_dir) if self.is_primary else None
+        )
+        self.writer_eval = (
+            logging_utils.SummaryWriter(os.path.join(model_dir, "eval"))
+            if self.is_primary
+            else None
         )
         self.mel_cfg = MelConfig.from_hparams(hps)
 
@@ -187,12 +195,24 @@ class Trainer:
         )
 
     def export_reference_checkpoint(self) -> None:
-        """Also emit reference-format G_latest.pth for ecosystem interop."""
+        """Emit reference-format G_latest.pth / D_latest.pth for ecosystem
+        interop and as the warm start of a later fine-tune
+        (``tools/train.py --train_with_pretrained_model``, mirroring the
+        reference's G_0.pth/D_0.pth pair, finetune_speaker_v2.py:102-115)."""
         from personalized_text_to_speech_tpu.utils import torch_compat as tc
 
         tc.save_torch_checkpoint(
             {"params": jax.device_get(self.g_state.params)},
             os.path.join(self.model_dir, "G_latest.pth"),
+            iteration=self.epoch,
+            learning_rate=self.hps.train.learning_rate,
+        )
+        d_tree = {"params": jax.device_get(self.d_state.params)}
+        if getattr(self.d_state, "mutables", None):
+            d_tree.update(jax.device_get(self.d_state.mutables))
+        tc.save_torch_checkpoint(
+            d_tree,
+            os.path.join(self.model_dir, "D_latest.pth"),
             iteration=self.epoch,
             learning_rate=self.hps.train.learning_rate,
         )
@@ -217,7 +237,7 @@ class Trainer:
                 self.g_state, self.d_state, batch, step_rng
             )
 
-            if self.global_step % hps.train.log_interval == 0:
+            if self.global_step % hps.train.log_interval == 0 and self.is_primary:
                 metrics = jax.device_get(metrics)
                 dt = time.perf_counter() - t_step
                 self.logger.info(
@@ -378,12 +398,13 @@ class Trainer:
                 np.asarray(gt_mel)[0][:gt_frames].T
             )
             audios["gt/audio"] = gt
-        self.writer_eval.summarize(
-            self.global_step,
-            images=images,
-            audios=audios,
-            audio_sampling_rate=hps.data.sampling_rate,
-        )
+        if self.writer_eval is not None:
+            self.writer_eval.summarize(
+                self.global_step,
+                images=images,
+                audios=audios,
+                audio_sampling_rate=hps.data.sampling_rate,
+            )
 
     # ------------------------------------------------------------------
     def fit(self, max_epochs: int) -> None:

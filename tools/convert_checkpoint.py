@@ -73,7 +73,20 @@ def main():
         print(f"wrote orbax params → {args.output} "
               f"(iteration {meta.get('iteration')})")
     else:
-        params = ckpt.restore_params(args.input, template)
+        inp = args.input.rstrip("/")
+        if os.path.isdir(os.path.join(inp, "default")):
+            # a Trainer step directory (checkpoints/<step>): the payload is
+            # the full train state {g_params, g_opt_state, d_params,
+            # d_opt_state} — export the requested model's params mid-run
+            # without waiting for fit() to finish
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            raw = ckptr.restore(os.path.abspath(os.path.join(inp, "default")))
+            key = "d_params" if args.discriminator else "g_params"
+            params = {"params": raw[key]}
+        else:
+            params = ckpt.restore_params(args.input, template)
         tc.save_torch_checkpoint(params, args.output)
         print(f"wrote reference checkpoint → {args.output}")
 

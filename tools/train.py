@@ -73,6 +73,14 @@ def main():
                         default="./pretrained_models/D_0.pth")
     parser.add_argument("--preserved", type=int, default=4)
     parser.add_argument("--no-mesh", action="store_true")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="multi-host rendezvous address host:port "
+                        "(TPU pods auto-discover; set for CPU/GPU fleets)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--distributed", action="store_true",
+                        help="call jax.distributed.initialize() with "
+                        "auto-discovery (TPU pod slices)")
     parser.add_argument("--smoke", action="store_true",
                         help="short synthetic-data end-to-end run")
     parser.add_argument("--smoke-epochs", type=int, default=1,
@@ -86,6 +94,14 @@ def main():
     from personalized_text_to_speech_tpu.train.loop import Trainer
     from personalized_text_to_speech_tpu.utils import runtime
 
+    if args.distributed or args.coordinator:
+        # multi-host rendezvous BEFORE any backend use (reference
+        # dist.init_process_group, finetune_speaker_v2.py:69)
+        runtime.init_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     runtime.enable_compilation_cache()
 
     if args.smoke:
