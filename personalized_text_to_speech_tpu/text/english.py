@@ -393,6 +393,249 @@ _LEXICON = {
     "already": "ɔˈrɛdi", "again": "əˈgɛn", "away": "əˈweɪ",
     "everywhere": "ˈɛvriˌwɛr", "somewhere": "ˈsəmˌwɛr", "today": "təˈdeɪ",
     "tonight": "təˈnaɪt", "ago": "əˈgoʊ", "yet": "jɛt", "ever": "ˈɛvər",
+    # third tranche: irregular spellings the LTS rules mangle (silent
+    # letters, odd vowels) + remaining high-frequency vocabulary
+    "who": "hu", "whose": "huz", "whom": "hum", "what": "wət",
+    "says": "sɛz", "island": "ˈaɪlənd", "honest": "ˈɑnəst",
+    "honor": "ˈɑnər", "hours": "ˈaʊərz", "heir": "ɛr", "debt": "dɛt",
+    "doubt": "daʊt", "climb": "klaɪm", "comb": "koʊm", "tomb": "tum",
+    "womb": "wum", "lamb": "læm", "thumb": "θəm", "limb": "lɪm",
+    "sword": "sɔrd", "castle": "ˈkæsəl", "whistle": "ˈwɪsəl",
+    "muscle": "ˈməsəl", "colonel": "ˈkərnəl", "choir": "ˈkwaɪər",
+    "iron": "ˈaɪərn", "recipe": "ˈrɛsəpi", "naive": "nɑˈiv",
+    "genre": "ˈʒɑnrə", "depot": "ˈdipoʊ", "ballet": "bæˈleɪ",
+    "bouquet": "buˈkeɪ", "buffet": "bəˈfeɪ", "gourmet": "gʊrˈmeɪ",
+    "receipt": "rəˈsit", "subtle": "ˈsətəl", "salmon": "ˈsæmən",
+    "yacht": "jɑt", "aisle": "aɪl", "isle": "aɪl", "ache": "eɪk",
+    "stomach": "ˈstəmək", "echo": "ˈɛkoʊ", "chorus": "ˈkɔrəs",
+    "chaos": "ˈkeɪɑs", "chemistry": "ˈkɛməstri", "character": "ˈkɛrɪktər",
+    "christmas": "ˈkrɪsməs", "machine": "məˈʃin", "chef": "ʃɛf",
+    "champagne": "ʃæmˈpeɪn", "chicago": "ʃəˈkɑgoʊ", "mustache": "ˈməˌstæʃ",
+    "ocean": "ˈoʊʃən", "special": "ˈspɛʃəl", "sugar": "ˈʃʊgər",
+    "sure": "ʃʊr", "measure": "ˈmɛʒər", "pleasure": "ˈplɛʒər",
+    "treasure": "ˈtrɛʒər", "usual": "ˈjuʒəwəl", "usually": "ˈjuʒəwəli",
+    "vision": "ˈvɪʒən", "decision": "dɪˈsɪʒən", "occasion": "əˈkeɪʒən",
+    "asia": "ˈeɪʒə", "europe": "ˈjʊrəp", "america": "əˈmɛrəkə",
+    "women": "ˈwɪmən", "busy": "ˈbɪzi", "business": "ˈbɪznəs",
+    "minute": "ˈmɪnət", "biscuit": "ˈbɪskət", "circuit": "ˈsərkət",
+    "build": "bɪld", "built": "bɪlt", "guilt": "gɪlt", "guide": "gaɪd",
+    "guitar": "gɪˈtɑr", "guest": "gɛst", "guard": "gɑrd",
+    "league": "lig", "tongue": "təŋ", "vague": "veɪg",
+    "unique": "juˈnik", "antique": "ænˈtik", "technique": "tɛkˈnik",
+    "queue": "kju", "quay": "ki", "suite": "swit", "fruit": "frut",
+    "juice": "ʤus", "cruise": "kruz", "bruise": "bruz",
+    "soup": "sup", "group": "grup", "through": "θru", "though": "ðoʊ",
+    "although": "ɔlˈðoʊ", "thorough": "ˈθəroʊ", "tough": "təf",
+    "rough": "rəf", "enough": "ɪˈnəf", "cough": "kɔf", "laugh": "læf",
+    "laughed": "læft", "laughter": "ˈlæftər", "daughter": "ˈdɔtər",
+    "neighbor": "ˈneɪbər", "weigh": "weɪ", "weight": "weɪt",
+    "height": "haɪt", "either": "ˈiðər", "neither": "ˈniðər",
+    "friend": "frɛnd", "friends": "frɛndz", "field": "fild",
+    "piece": "pis", "believe": "bɪˈliv", "receive": "rəˈsiv",
+    "ceiling": "ˈsilɪŋ", "foreign": "ˈfɔrən", "sovereign": "ˈsɑvrən",
+    "heart": "hɑrt", "hearth": "hɑrθ", "earth": "ərθ", "early": "ˈərli",
+    "learn": "lərn", "heard": "hərd", "search": "sərʧ",
+    "blood": "bləd", "flood": "fləd", "door": "dɔr", "floor": "flɔr",
+    "poor": "pur", "great": "greɪt", "steak": "steɪk", "break": "breɪk",
+    "breakfast": "ˈbrɛkfəst", "bread": "brɛd", "dead": "dɛd",
+    "death": "dɛθ", "head": "hɛd", "health": "hɛlθ", "heavy": "ˈhɛvi",
+    "weather": "ˈwɛðər", "sweat": "swɛt", "threat": "θrɛt",
+    "breath": "brɛθ", "breathe": "brið", "meant": "mɛnt",
+    "pretty": "ˈprɪti", "england": "ˈɪŋglənd", "people": "ˈpipəl",
+    "police": "pəˈlis", "pizza": "ˈpitsə", "coupon": "ˈkuˌpɑn",
+    # high-frequency verbs
+    "keep": "kip", "kept": "kɛpt", "let": "lɛt", "put": "pʊt",
+    "mean": "min", "means": "minz", "begin": "bɪˈgɪn", "began": "bɪˈgæn",
+    "begun": "bɪˈgən", "become": "bɪˈkəm", "became": "bɪˈkeɪm",
+    "bring": "brɪŋ", "brought": "brɔt", "carry": "ˈkɛri",
+    "catch": "kæʧ", "caught": "kɔt", "choose": "ʧuz", "chose": "ʧoʊz",
+    "cut": "kət", "deal": "dil", "dealt": "dɛlt", "die": "daɪ",
+    "died": "daɪd", "drive": "draɪv", "drove": "droʊv", "drop": "drɑp",
+    "expect": "ɪkˈspɛkt", "fall": "fɔl", "fell": "fɛl", "feed": "fid",
+    "fight": "faɪt", "fought": "fɔt", "fill": "fɪl", "finish": "ˈfɪnɪʃ",
+    "fly": "flaɪ", "flew": "flu", "follow": "ˈfɑloʊ", "grow": "groʊ",
+    "grew": "gru", "happen": "ˈhæpən", "happened": "ˈhæpənd",
+    "hold": "hoʊld", "held": "hɛld", "hit": "hɪt", "hurt": "hərt",
+    "join": "ʤɔɪn", "kill": "kɪl", "lay": "leɪ", "lead": "lid",
+    "led": "lɛd", "lose": "luz", "lost": "lɔst", "meet": "mit",
+    "met": "mɛt", "move": "muv", "moved": "muvd", "offer": "ˈɔfər",
+    "pass": "pæs", "pick": "pɪk", "plan": "plæn", "pull": "pʊl",
+    "push": "pʊʃ", "raise": "reɪz", "reach": "riʧ", "return": "rɪˈtərn",
+    "rise": "raɪz", "rose": "roʊz", "save": "seɪv", "send": "sɛnd",
+    "sent": "sɛnt", "set": "sɛt", "shake": "ʃeɪk", "shook": "ʃʊk",
+    "share": "ʃɛr", "shoot": "ʃut", "shot": "ʃɑt", "sign": "saɪn",
+    "sat": "sæt", "spend": "spɛnd", "spent": "spɛnt", "stay": "steɪ",
+    "strike": "straɪk", "struck": "strək", "suggest": "səgˈʤɛst",
+    "support": "səˈpɔrt", "throw": "θroʊ", "threw": "θru",
+    "turn": "tərn", "turned": "tərnd", "visit": "ˈvɪzət",
+    "wait": "weɪt", "wake": "weɪk", "woke": "woʊk", "wear": "wɛr",
+    "wore": "wɔr", "win": "wɪn", "won": "wən", "wonder": "ˈwəndər",
+    "worry": "ˈwəri", "agree": "əˈgri", "allow": "əˈlaʊ",
+    "appear": "əˈpɪr", "arrive": "əˈraɪv", "avoid": "əˈvɔɪd",
+    "broke": "broʊk", "broken": "ˈbroʊkən", "burn": "bərn",
+    "cause": "kɔz", "check": "ʧɛk", "claim": "kleɪm",
+    "consider": "kənˈsɪdər", "contain": "kənˈteɪn",
+    "continue": "kənˈtɪnju", "control": "kənˈtroʊl", "cover": "ˈkəvər",
+    "create": "kriˈeɪt", "cross": "krɔs", "cry": "kraɪ",
+    "decide": "ˌdɪˈsaɪd", "describe": "dɪˈskraɪb", "destroy": "dɪˈstrɔɪ",
+    "develop": "dɪˈvɛləp", "discuss": "dɪˈskəs", "discover": "dɪˈskəvər",
+    "enjoy": "ɛnˈʤɔɪ", "enter": "ˈɛntər", "explain": "ɪkˈspleɪn",
+    "fail": "feɪl", "fit": "fɪt", "fix": "fɪks", "force": "fɔrs",
+    "form": "fɔrm", "gain": "geɪn", "guess": "gɛs", "handle": "ˈhændəl",
+    "hang": "hæŋ", "hate": "heɪt", "hide": "haɪd", "hid": "hɪd",
+    "imagine": "ɪˈmæʤən", "improve": "ɪmˈpruv", "include": "ɪnˈklud",
+    "increase": "ˈɪnˌkris", "intend": "ɪnˈtɛnd", "invite": "ɪnˈvaɪt",
+    "involve": "ɪnˈvɑlv", "lift": "lɪft", "like": "laɪk",
+    "live": "lɪv", "lived": "lɪvd", "manage": "ˈmænəʤ", "mark": "mɑrk",
+    "matter": "ˈmætər", "mention": "ˈmɛnʃən", "miss": "mɪs",
+    "notice": "ˈnoʊtəs", "occur": "əˈkər", "paint": "peɪnt",
+    "perform": "pərˈfɔrm", "prepare": "priˈpɛr", "present": "ˈprɛzənt",
+    "press": "prɛs", "prevent": "prɪˈvɛnt", "produce": "ˈproʊdus",
+    "promise": "ˈprɑməs", "protect": "prəˈtɛkt", "prove": "pruv",
+    "provide": "prəˈvaɪd", "realize": "ˈriəˌlaɪz",
+    "recognize": "ˈrɛkəgˌnaɪz", "reduce": "rəˈdus", "refuse": "rɪˈfjuz",
+    "remain": "rɪˈmeɪn", "remove": "riˈmuv", "repeat": "rɪˈpit",
+    "replace": "ˌriˈpleɪs", "reply": "rɪˈplaɪ", "report": "rɪˈpɔrt",
+    "require": "ˌriˈkwaɪər", "rest": "rɛst", "ring": "rɪŋ",
+    "rang": "ræŋ", "rush": "rəʃ", "seek": "sik", "sought": "sɔt",
+    "select": "səˈlɛkt", "separate": "ˈsɛprət", "serve": "sərv",
+    "settle": "ˈsɛtəl", "shout": "ʃaʊt", "shut": "ʃət",
+    "smile": "smaɪl", "spread": "sprɛd", "stare": "stɛr",
+    "stick": "stɪk", "stuck": "stək", "store": "stɔr",
+    "succeed": "səkˈsid", "suffer": "ˈsəfər", "suppose": "səˈpoʊz",
+    "surprise": "sərˈpraɪz", "survive": "sərˈvaɪv", "talk": "tɔk",
+    "talked": "tɔkt", "taste": "teɪst", "tend": "tɛnd", "touch": "təʧ",
+    "travel": "ˈtrævəl", "treat": "trit", "trust": "trəst",
+    "wander": "ˈwɑndər", "warn": "wɔrn", "wash": "wɑʃ",
+    "waste": "weɪst", "wave": "weɪv", "welcome": "ˈwɛlkəm",
+    "whisper": "ˈwɪspər", "wrap": "ræp", "written": "ˈrɪtən",
+    "walked": "wɔkt", "walking": "ˈwɔkɪŋ", "worked": "wərkt",
+    # high-frequency nouns / adjectives
+    "action": "ˈækʃən", "age": "eɪʤ", "area": "ˈɛriə",
+    "attention": "əˈtɛnʃən", "bank": "bæŋk", "battle": "ˈbætəl",
+    "bit": "bɪt", "board": "bɔrd", "care": "kɛr",
+    "century": "ˈsɛnʧəri", "chance": "ʧæns", "charge": "ʧɑrʤ",
+    "choice": "ʧɔɪs", "class": "klæs", "condition": "kənˈdɪʃən",
+    "corner": "ˈkɔrnər", "cost": "kɔst", "couple": "ˈkəpəl",
+    "court": "kɔrt", "crowd": "kraʊd", "culture": "ˈkəlʧər",
+    "danger": "ˈdeɪnʤər", "date": "deɪt", "decision": "dɪˈsɪʒən",
+    "degree": "dɪˈgri", "demand": "dɪˈmænd", "design": "dɪˈzaɪn",
+    "detail": "dɪˈteɪl", "difference": "ˈdɪfərəns", "dinner": "ˈdɪnər",
+    "direction": "dəˈrɛkʃən", "distance": "ˈdɪstəns", "dream": "drim",
+    "dust": "dəst", "duty": "ˈduti", "edge": "ɛʤ",
+    "education": "ˌɛʤəˈkeɪʃən", "effect": "ɪˈfɛkt", "effort": "ˈɛfərt",
+    "energy": "ˈɛnərʤi", "engine": "ˈɛnʤən", "event": "ɪˈvɛnt",
+    "evidence": "ˈɛvədəns", "experience": "ɪkˈspɪriəns",
+    "expert": "ˈɛkspərt", "feeling": "ˈfilɪŋ", "figure": "ˈfɪgjər",
+    "film": "fɪlm", "finger": "ˈfɪŋgər", "flight": "flaɪt",
+    "focus": "ˈfoʊkəs", "forest": "ˈfɔrəst", "future": "ˈfjuʧər",
+    "gas": "gæs", "gate": "geɪt", "goal": "goʊl", "gold": "goʊld",
+    "growth": "groʊθ", "guard": "gɑrd", "gun": "gən", "guy": "gaɪ",
+    "hall": "hɔl", "heat": "hit", "hill": "hɪl", "hole": "hoʊl",
+    "holiday": "ˈhɑləˌdeɪ", "hotel": "hoʊˈtɛl", "human": "ˈhjumən",
+    "ice": "aɪs", "image": "ˈɪmɪʤ", "impact": "ˈɪmpækt",
+    "income": "ˈɪnˌkəm", "industry": "ˈɪndəstri", "interest": "ˈɪntrəst",
+    "issue": "ˈɪʃu", "item": "ˈaɪtəm", "judge": "ʤəʤ", "king": "kɪŋ",
+    "knowledge": "ˈnɑləʤ", "lady": "ˈleɪdi", "lake": "leɪk",
+    "leader": "ˈlidər", "length": "lɛŋkθ", "lesson": "ˈlɛsən",
+    "library": "ˈlaɪˌbrɛri", "limit": "ˈlɪmət", "loss": "lɔs",
+    "lot": "lɑt", "lunch": "lənʧ", "machine": "məˈʃin",
+    "market": "ˈmɑrkət", "marriage": "ˈmɛrɪʤ", "master": "ˈmæstər",
+    "material": "məˈtɪriəl", "meal": "mil", "meaning": "ˈminɪŋ",
+    "meat": "mit", "meeting": "ˈmitɪŋ", "member": "ˈmɛmbər",
+    "memory": "ˈmɛməri", "message": "ˈmɛsəʤ", "metal": "ˈmɛtəl",
+    "method": "ˈmɛθəd", "mile": "maɪl", "mistake": "mɪˈsteɪk",
+    "modern": "ˈmɑdərn", "mood": "mud", "motion": "ˈmoʊʃən",
+    "mouse": "maʊs", "movement": "ˈmuvmənt", "murder": "ˈmərdər",
+    "museum": "mjuˈziəm", "nation": "ˈneɪʃən", "neck": "nɛk",
+    "network": "ˈnɛˌtwərk", "noise": "nɔɪz", "note": "noʊt",
+    "object": "ˈɑbʤɛkt", "officer": "ˈɔfəsər", "oil": "ɔɪl",
+    "operation": "ˌɑpəˈreɪʃən", "opinion": "əˈpɪnjən",
+    "opportunity": "ˌɑpərˈtunəti", "option": "ˈɑpʃən", "pain": "peɪn",
+    "parent": "ˈpɛrənt", "partner": "ˈpɑrtnər", "party": "ˈpɑrti",
+    "past": "pæst", "path": "pæθ", "patient": "ˈpeɪʃənt",
+    "pattern": "ˈpætərn", "payment": "ˈpeɪmənt", "period": "ˈpɪriəd",
+    "phone": "foʊn", "photo": "ˈfoʊˌtoʊ", "phrase": "freɪz",
+    "physical": "ˈfɪzɪkəl", "piano": "piˈænoʊ", "pilot": "ˈpaɪlət",
+    "pitch": "pɪʧ", "plant": "plænt", "plastic": "ˈplæstɪk",
+    "platform": "ˈplætˌfɔrm", "player": "ˈpleɪər", "pocket": "ˈpɑkət",
+    "poem": "ˈpoʊəm", "poet": "ˈpoʊət", "poetry": "ˈpoʊətri",
+    "policy": "ˈpɑləsi", "politics": "ˈpɑləˌtɪks", "pool": "pul",
+    "population": "ˌpɑpjəˈleɪʃən", "position": "pəˈzɪʃən",
+    "possible": "ˈpɑsəbəl", "potato": "pəˈteɪˌtoʊ",
+    "practice": "ˈpræktəs", "president": "ˈprɛzəˌdɛnt",
+    "pressure": "ˈprɛʃər", "pride": "praɪd", "prince": "prɪns",
+    "princess": "ˈprɪnˌsɛs", "principle": "ˈprɪnsəpəl", "print": "prɪnt",
+    "prison": "ˈprɪzən", "private": "ˈpraɪvət", "prize": "praɪz",
+    "process": "ˈprɑˌsɛs", "product": "ˈprɑdəkt",
+    "professor": "prəˈfɛsər", "profit": "ˈprɑfət",
+    "program": "ˈproʊˌgræm", "project": "ˈprɑʤɛkt",
+    "property": "ˈprɑpərti", "purpose": "ˈpərpəs",
+    "quality": "ˈkwɑləti", "queen": "kwin", "race": "reɪs",
+    "radio": "ˈreɪdiˌoʊ", "range": "reɪnʤ", "rate": "reɪt",
+    "record": "ˈrɛkərd", "region": "ˈriʤən", "relationship":
+    "riˈleɪʃənˌʃɪp", "religion": "rɪˈlɪʤən", "research": "riˈsərʧ",
+    "resource": "ˈriˌsɔrs", "response": "rɪˈspɑns",
+    "restaurant": "ˈrɛstəˌrɑnt", "review": "ˌriˈvju", "reward": "rɪˈwɔrd",
+    "rhythm": "ˈrɪðəm", "rice": "raɪs", "ride": "raɪd", "risk": "rɪsk",
+    "rock": "rɑk", "role": "roʊl", "roll": "roʊl", "route": "rut",
+    "safety": "ˈseɪfti", "salt": "sɔlt", "sample": "ˈsæmpəl",
+    "sand": "sænd", "scale": "skeɪl", "scene": "sin",
+    "schedule": "ˈskɛʤʊl", "scheme": "skim", "science": "ˈsaɪəns",
+    "score": "skɔr", "screen": "skrin", "secret": "ˈsikrət",
+    "secretary": "ˈsɛkrəˌtɛri", "section": "ˈsɛkʃən",
+    "security": "sɪˈkjʊrəti", "sense": "sɛns", "series": "ˈsɪriz",
+    "service": "ˈsərvəs", "shadow": "ˈʃædoʊ", "shape": "ʃeɪp",
+    "sheet": "ʃit", "shelf": "ʃɛlf", "shell": "ʃɛl", "shift": "ʃɪft",
+    "shirt": "ʃərt", "shock": "ʃɑk", "shoe": "ʃu", "shoes": "ʃuz",
+    "shop": "ʃɑp", "shoulder": "ˈʃoʊldər", "sight": "saɪt",
+    "signal": "ˈsɪgnəl", "silence": "ˈsaɪləns", "silver": "ˈsɪlvər",
+    "site": "saɪt", "situation": "ˌsɪʧuˈeɪʃən", "size": "saɪz",
+    "skill": "skɪl", "skin": "skɪn", "smoke": "smoʊk",
+    "society": "soʊˈsaɪəti", "software": "ˈsɔfˌtwɛr", "soil": "sɔɪl",
+    "soldier": "ˈsoʊlʤər", "solution": "səˈluʃən", "source": "sɔrs",
+    "space": "speɪs", "speed": "spid", "spirit": "ˈspɪrət",
+    "sport": "spɔrt", "spot": "spɑt", "staff": "stæf",
+    "stage": "steɪʤ", "standard": "ˈstændərd", "station": "ˈsteɪʃən",
+    "status": "ˈstætəs", "steel": "stil", "stone": "stoʊn",
+    "strategy": "ˈstrætəʤi", "stream": "strim", "strength": "strɛŋkθ",
+    "stress": "strɛs", "structure": "ˈstrəkʧər", "style": "staɪl",
+    "subject": "ˈsəbʤɪkt", "success": "səkˈsɛs", "suit": "sut",
+    "surface": "ˈsərfəs", "symbol": "ˈsɪmbəl", "situation":
+    "ˌsɪʧuˈeɪʃən", "target": "ˈtɑrgət", "task": "tæsk",
+    "team": "tim", "technology": "tɛkˈnɑləʤi", "temperature":
+    "ˈtɛmprəʧər", "term": "tərm", "theory": "ˈθɪri", "ticket": "ˈtɪkət",
+    "title": "ˈtaɪtəl", "tool": "tul", "total": "ˈtoʊtəl",
+    "traffic": "ˈtræfɪk", "trip": "trɪp", "trouble": "ˈtrəbəl",
+    "university": "ˌjunəˈvərsəti", "valley": "ˈvæli", "variety":
+    "vəˈraɪəti", "vehicle": "ˈviɪkəl", "version": "ˈvərʒən",
+    "victory": "ˈvɪktəri", "view": "vju", "village": "ˈvɪlɪʤ",
+    "visitor": "ˈvɪzətər", "wage": "weɪʤ", "wedding": "ˈwɛdɪŋ",
+    "wheel": "wil", "while": "waɪl", "wood": "wʊd", "worker": "ˈwərkər",
+    "yard": "jɑrd", "youth": "juθ", "zone": "zoʊn",
+    "amazing": "əˈmeɪzɪŋ", "ancient": "ˈeɪnʧənt", "certain": "ˈsərtən",
+    "common": "ˈkɑmən", "complete": "kəmˈplit", "correct": "kəˈrɛkt",
+    "crazy": "ˈkreɪzi", "current": "ˈkərənt", "dangerous": "ˈdeɪnʤərəs",
+    "difficult": "ˈdɪfəkəlt", "entire": "ɪnˈtaɪər", "equal": "ˈikwəl",
+    "exact": "ɪgˈzækt", "excellent": "ˈɛksələnt", "famous": "ˈfeɪməs",
+    "favorite": "ˈfeɪvərɪt", "final": "ˈfaɪnəl", "foreign": "ˈfɔrən",
+    "fresh": "frɛʃ", "funny": "ˈfəni", "general": "ˈʤɛnərəl",
+    "gentle": "ˈʤɛntəl", "huge": "hjuʤ", "interesting": "ˈɪntrəstɪŋ",
+    "local": "ˈloʊkəl", "lovely": "ˈləvli", "lucky": "ˈləki",
+    "main": "meɪn", "major": "ˈmeɪʤər", "modern": "ˈmɑdərn",
+    "natural": "ˈnæʧərəl", "necessary": "ˈnɛsəˌsɛri", "normal": "ˈnɔrməl",
+    "obvious": "ˈɑbviəs", "ordinary": "ˈɔrdəˌnɛri", "original":
+    "əˈrɪʤənəl", "particular": "pərˈtɪkjələr", "perfect": "ˈpərˌfɪkt",
+    "personal": "ˈpərsɪnɪl", "popular": "ˈpɑpjələr", "positive":
+    "ˈpɑzətɪv", "powerful": "ˈpaʊərfəl", "previous": "ˈpriviəs",
+    "proper": "ˈprɑpər", "proud": "praʊd", "recent": "ˈrisənt",
+    "regular": "ˈrɛgjələr", "serious": "ˈsɪriəs", "significant":
+    "səgˈnɪfɪkənt", "similar": "ˈsɪmələr", "simple": "ˈsɪmpəl",
+    "single": "ˈsɪŋgəl", "smart": "smɑrt", "social": "ˈsoʊʃəl",
+    "special": "ˈspɛʃəl", "strange": "streɪnʤ", "successful":
+    "səkˈsɛsfəl", "sweet": "swit", "terrible": "ˈtɛrəbəl",
+    "total": "ˈtoʊtəl", "useful": "ˈjusfəl", "various": "ˈvɛriəs",
+    "wonderful": "ˈwəndərfəl", "wrong": "rɔŋ",
 }
 
 # Letter-to-sound rules, tried longest-match-first at each position.

@@ -105,6 +105,31 @@ class TestEnglish:
     def test_dark_l(self):
         assert "ɫ" in english.mark_dark_l("fil ")
 
+    def test_lexicon_values_cover_vocab(self):
+        # every embedded lexicon pronunciation must survive the
+        # english_to_ipa2 substitutions into the 68-symbol vocabulary
+        # with no silently-dropped characters
+        known = set(SYMBOLS)
+        bad = {}
+        for word, ipa in english._LEXICON.items():
+            mapped = ipa
+            for regex, repl in english._IPA_TO_IPA2:
+                mapped = regex.sub(repl, mapped)
+            unknown = [ch for ch in mapped if ch not in known]
+            if unknown:
+                bad[word] = unknown
+        assert not bad, f"lexicon entries with unmapped symbols: {bad}"
+
+    def test_irregular_words_from_lexicon(self):
+        # silent-letter words the LTS rules would mangle must hit the
+        # lexicon (reference gets these from eng_to_ipa's CMUdict)
+        assert english.english_to_ipa("who is") .startswith("hu")
+        assert "ˈaɪlənd" in english.english_to_ipa("the island")
+        assert "koʊm" in english.english_to_ipa("comb")
+        assert "sɔrd" in english.english_to_ipa("sword")
+        assert "ˈkərnəl" in english.english_to_ipa("colonel")
+        assert "rɪðəm" in english.english_to_ipa("rhythm")
+
 
 class TestMandarin:
     def test_int_to_chinese(self):
