@@ -13,3 +13,4 @@ from personalized_text_to_speech_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from personalized_text_to_speech_tpu.parallel import tp  # noqa: F401

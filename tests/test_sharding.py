@@ -21,6 +21,13 @@ def mesh8():
     return create_mesh({"data": 8, "model": 1})
 
 
+@pytest.fixture(scope="module")
+def mesh8_tp():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return create_mesh({"data": 4, "model": 2})
+
+
 class TestMesh:
     def test_create_mesh_fill(self):
         mesh = create_mesh({"data": -1})
@@ -35,6 +42,63 @@ class TestMesh:
         sharded = shard_batch({"x": x}, mesh8)
         assert sharded["x"].sharding.spec == P("data")
         np.testing.assert_array_equal(np.asarray(sharded["x"]), x)
+
+
+class TestTPSpecs:
+    """Unit tests for the tensor-parallel spec derivation (parallel/tp.py)."""
+
+    def _params(self):
+        return {
+            "conv": {  # Conv1d-style weight norm: g indexes OUT channels
+                "v": np.zeros((3, 4, 8), np.float32),
+                "g": np.zeros((8,), np.float32),
+                "bias": np.zeros((8,), np.float32),
+            },
+            "convT": {  # ConvTranspose1d-style: g indexes IN channels
+                "v": np.zeros((5, 6, 8), np.float32),
+                "g": np.zeros((6,), np.float32),
+                "bias": np.zeros((8,), np.float32),
+            },
+            "post": {  # out dim 1: not divisible → fully replicated
+                "kernel": np.zeros((7, 8, 1), np.float32),
+                "bias": np.zeros((1,), np.float32),
+            },
+            "emb": {"embedding": np.zeros((10, 8), np.float32)},
+            "norm": {"gamma": np.zeros((8,), np.float32)},
+        }
+
+    def test_spec_rules(self):
+        from personalized_text_to_speech_tpu.parallel import tp
+
+        specs = tp.param_pspecs(self._params(), tp_size=2)
+        assert specs[("conv", "v")] == P(None, None, "model")
+        assert specs[("conv", "g")] == P("model")
+        assert specs[("conv", "bias")] == P("model")
+        assert specs[("convT", "v")] == P(None, None, "model")
+        assert specs[("convT", "g")] == P()       # indexes in-channels
+        assert specs[("convT", "bias")] == P("model")
+        assert specs[("post", "kernel")] == P()   # out=1 not divisible
+        assert specs[("post", "bias")] == P()
+        assert specs[("emb", "embedding")] == P(None, "model")
+        assert specs[("norm", "gamma")] == P()    # no sibling kernel
+
+    def test_tp1_replicates_everything(self):
+        from personalized_text_to_speech_tpu.parallel import tp
+
+        specs = tp.param_pspecs(self._params(), tp_size=1)
+        assert all(s == P() for s in specs.values())
+
+    def test_tree_pspecs_mirrors_into_opt_state(self):
+        from personalized_text_to_speech_tpu.parallel import tp
+
+        params = self._params()
+        specs = tp.param_pspecs(params, tp_size=2)
+        # Adam-like moments mirror the param tree under a wrapper key
+        state = {"mu": params, "nu": params, "count": np.zeros(())}
+        spec_tree = tp.tree_pspecs(state, specs)
+        assert spec_tree["mu"]["conv"]["v"] == P(None, None, "model")
+        assert spec_tree["nu"]["emb"]["embedding"] == P(None, "model")
+        assert spec_tree["count"] == P()
 
 
 class TestShardedTrainStep:
@@ -193,6 +257,99 @@ class TestShardedTrainStep:
             + jax.tree_util.tree_leaves(d8.params),
         ):
             assert float(np.abs(np.asarray(a) - np.asarray(bv)).max()) < 3 * lr
+
+    def test_real_gan_step_tp_dp_equals_single(self, mesh8_tp):
+        """Tensor-parallel correctness: the SAME fused GAN step with params
+        sharded over the `model` axis (out-channel column parallelism,
+        parallel/tp.py) on a data×model = 4×2 mesh must reproduce the
+        single-device gradients.  GSPMD owns the collectives; this pins the
+        annotation down as numerically transparent."""
+        from personalized_text_to_speech_tpu.models.discriminator import (
+            MultiPeriodDiscriminator,
+        )
+        from personalized_text_to_speech_tpu.parallel import tp
+        from personalized_text_to_speech_tpu.train.state import (
+            create_train_state,
+        )
+        from personalized_text_to_speech_tpu.train.step import (
+            Batch,
+            make_train_step,
+        )
+        from tests.test_model import tiny_model
+        from tests.test_train import HOP, tiny_hps
+
+        hps = tiny_hps()
+        g_model = tiny_model()
+        d_model = MultiPeriodDiscriminator(periods=(2, 3))
+
+        rng = jax.random.PRNGKey(0)
+        b, tt, ts = 8, 6, 24
+        g_params = g_model.init(
+            {"params": rng, "noise": rng, "slice": rng, "dropout": rng},
+            jnp.ones((2, tt), jnp.int32), jnp.array([6, 5]),
+            jnp.zeros((2, ts, 33)), jnp.array([24, 20]), jnp.array([0, 1]),
+        )["params"]
+        wav0 = jnp.zeros((2, 8 * HOP))
+        d_params = d_model.init(rng, wav0, wav0)["params"]
+
+        # the annotation must actually shard something non-trivial
+        sharded_n, total_n = tp.count_sharded(g_params, mesh8_tp)
+        assert sharded_n > total_n // 4, (sharded_n, total_n)
+
+        rng_np = np.random.default_rng(3)
+        t = np.linspace(0, 8, ts * HOP)
+        wav_data = np.stack(
+            [0.5 * np.sin(2 * np.pi * (20 + 3 * i) * t) for i in range(b)]
+        ).astype(np.float32)
+        batch = Batch(
+            text=jnp.asarray(rng_np.integers(1, 10, (b, tt)), jnp.int32),
+            text_lengths=jnp.asarray(
+                rng_np.integers(4, tt + 1, (b,)), jnp.int32
+            ),
+            wav=jnp.asarray(wav_data),
+            wav_lengths=jnp.asarray(
+                (rng_np.integers(ts - 6, ts + 1, (b,))) * HOP, jnp.int32
+            ),
+            sid=jnp.asarray(rng_np.integers(0, 4, (b,)), jnp.int32),
+        )
+
+        step = jax.jit(
+            make_train_step(g_model, d_model, hps, debug_grads=True),
+            donate_argnums=(),
+        )
+
+        g1 = create_train_state(g_model.apply, g_params, hps, 4)
+        d1 = create_train_state(d_model.apply, d_params, hps, 4)
+        _, _, m1 = step(g1, d1, batch, jax.random.PRNGKey(100))
+
+        g_tp = tp.shard_pytree(
+            create_train_state(g_model.apply, g_params, hps, 4), mesh8_tp
+        )
+        d_tp = tp.shard_pytree(
+            create_train_state(d_model.apply, d_params, hps, 4), mesh8_tp
+        )
+        batch_s = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, batch_sharding(mesh8_tp)), batch
+        )
+        with mesh8_tp:
+            _, _, m_tp = step(g_tp, d_tp, batch_s, jax.random.PRNGKey(100))
+
+        for k in ("loss/g/total", "loss/d/total", "grad_norm_g", "grad_norm_d"):
+            np.testing.assert_allclose(
+                float(m1[k]), float(m_tp[k]), rtol=2e-4, atol=2e-4, err_msg=k
+            )
+        for name in ("_grads_g", "_grads_d"):
+            leaves1 = jax.tree_util.tree_leaves(m1[name])
+            leaves_tp = jax.tree_util.tree_leaves(m_tp[name])
+            assert len(leaves1) == len(leaves_tp)
+            scale = max(
+                float(np.abs(np.asarray(l)).max()) for l in leaves1
+            )
+            for a, bv in zip(leaves1, leaves_tp):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(bv),
+                    rtol=2e-4, atol=2e-6 * max(scale, 1.0), err_msg=name,
+                )
 
     def test_mas_shards_over_batch(self, mesh8):
         from personalized_text_to_speech_tpu.ops.mas import (
