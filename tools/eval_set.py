@@ -77,12 +77,19 @@ def main():
             noise_scale=args.noise_scale, noise_scale_w=args.noise_scale_w,
         )
         for (wav_path, sid, _), syn in zip(chunk, wavs):
+            # score the int16-roundtripped waveform: the ground truth is a
+            # PCM16 file and the reference's eval_pair CLI reads files, so
+            # metrics must see both sides in the same representation (pYIN
+            # octave decisions on strongly-harmonic audio can flip between
+            # near-tie tracks under sub-quantization perturbations)
+            pcm = (np.clip(syn, -1, 1) * 32767.0).astype(np.int16)
+            syn = pcm.astype(np.float32) / 32768.0
             if args.out_dir:
                 from scipy.io import wavfile
 
                 wavfile.write(
                     os.path.join(args.out_dir, os.path.basename(wav_path)),
-                    sr, (np.clip(syn, -1, 1) * 32767.0).astype(np.int16),
+                    sr, pcm,
                 )
             ref = load_wav_mono(wav_path, sr)
             m = evaluate_pair(ref, syn, sr, use_dtw=not args.no_dtw)
