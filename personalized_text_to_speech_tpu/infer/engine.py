@@ -271,6 +271,46 @@ class TTSEngine:
             self._decode_fns[key] = functools.partial(run, max_len=f_bucket)
         return self._decode_fns[key]
 
+    def cost_analysis(
+        self, batch: int, t_bucket: Optional[int] = None,
+        f_bucket: Optional[int] = None, pcm16: bool = True,
+    ) -> Dict[str, Dict[str, float]]:
+        """XLA cost analysis (FLOPs / bytes accessed) of the two compiled
+        serving stages at the given batch/buckets — the roofline inputs for
+        MFU and HBM-bandwidth-utilization reporting (tools/bench_cost.py)."""
+        from personalized_text_to_speech_tpu.utils.profiling import (
+            compiled_stats,
+        )
+
+        t_bucket = t_bucket or self.text_buckets[-2]
+        x = np.zeros((batch, t_bucket), np.int32)
+        x[:, :8] = 1
+        x_lengths = np.full((batch,), t_bucket, np.int32)
+        sid = np.zeros((batch,), np.int32)
+        rng = np.uint32(0)
+        enc = self._encode_fn(t_bucket)
+        enc_stats = compiled_stats(
+            enc, self.params, x, x_lengths, sid,
+            np.float32(1.0), np.float32(0.8), rng,
+        )
+        w_ceil, m_p, logs_p, x_mask, n_frames = enc(
+            self.params, x, x_lengths, sid,
+            np.float32(1.0), np.float32(0.8), rng,
+        )
+        f_bucket = f_bucket or _next_bucket(
+            max(int(n_frames), 1), self.frame_buckets
+        )
+        dec = self._decode_fn(t_bucket, f_bucket)
+        dec_stats = compiled_stats(
+            dec.func, self.params, w_ceil, m_p, logs_p, x_mask, sid,
+            np.float32(0.667), rng, max_len=f_bucket, pcm16=pcm16,
+        )
+        return {
+            "encode": enc_stats,
+            "decode": dec_stats,
+            "buckets": {"text": float(t_bucket), "frames": float(f_bucket)},
+        }
+
     # ------------------------------------------------------------------
     # synthesis
     # ------------------------------------------------------------------

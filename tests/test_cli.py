@@ -90,6 +90,46 @@ class TestPreprocessCli:
         assert set(cfg["speakers"]) == {"spk1", "spk2"}
 
 
+class TestEvalVcCli:
+    def test_parallel_pairs_scored(self, tiny_config, tmp_path):
+        import jax
+
+        from personalized_text_to_speech_tpu.config import load_hparams
+        from personalized_text_to_speech_tpu.data.audio import save_wav
+        from personalized_text_to_speech_tpu.infer.engine import TTSEngine
+        from personalized_text_to_speech_tpu.utils import torch_compat as tc
+
+        hps = load_hparams(tiny_config)
+        engine = TTSEngine(hps)
+        model_path = str(tmp_path / "G_test.pth")
+        tc.save_torch_checkpoint(
+            jax.device_get(engine.params), model_path, iteration=1
+        )
+
+        sr = hps.data.sampling_rate
+        t = np.linspace(0, 0.5, sr // 2, endpoint=False)
+        anno_lines = []
+        for sid, f0 in ((0, 150), (1, 260)):
+            wav = (0.3 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+            p = str(tmp_path / f"spk{sid}.wav")
+            save_wav(p, wav, sr)
+            anno_lines.append(f"{p}|{sid}|həloʊ ðɛɹ.")
+        anno = tmp_path / "anno.txt"
+        anno.write_text("\n".join(anno_lines) + "\n", encoding="utf-8")
+
+        out_json = str(tmp_path / "vc.json")
+        r = run_tool(
+            [REPO + "/tools/eval_vc.py", "--model", model_path,
+             "--config", tiny_config, "--annotations", str(anno),
+             "--src", "0", "--tgt", "1", "--out_json", out_json]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        data = json.loads(open(out_json).read())
+        assert data["n_pairs"] == 1
+        for key in ("converted_vs_target_median", "unconverted_vs_target_median"):
+            assert np.isfinite(data[key]["MCD"])
+
+
 class TestEvalPairCli:
     def test_metrics_printed(self, tmp_path):
         from personalized_text_to_speech_tpu.data.audio import save_wav
