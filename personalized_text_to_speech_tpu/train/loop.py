@@ -159,11 +159,32 @@ class Trainer:
             ),
         )
         if self.mesh is not None:
-            from personalized_text_to_speech_tpu.parallel.mesh import replicated
+            if "model" in self.mesh.shape and self.mesh.shape["model"] > 1:
+                # tensor parallelism over the `model` axis: conv/dense
+                # out-channels + embedding features sharded, optimizer
+                # moments follow (parallel/tp.py); GSPMD inserts the
+                # collectives
+                from personalized_text_to_speech_tpu.parallel import tp
 
-            repl = replicated(self.mesh)
-            self.g_state = jax.device_put(self.g_state, repl)
-            self.d_state = jax.device_put(self.d_state, repl)
+                sharded_n, total_n = tp.count_sharded(
+                    self.g_state.params, self.mesh
+                )
+                self.logger.info(
+                    "tensor parallelism x%d over 'model': %.1f%% of G params "
+                    "sharded (%d / %d)",
+                    self.mesh.shape["model"],
+                    100.0 * sharded_n / max(total_n, 1), sharded_n, total_n,
+                )
+                self.g_state = tp.shard_pytree(self.g_state, self.mesh)
+                self.d_state = tp.shard_pytree(self.d_state, self.mesh)
+            else:
+                from personalized_text_to_speech_tpu.parallel.mesh import (
+                    replicated,
+                )
+
+                repl = replicated(self.mesh)
+                self.g_state = jax.device_put(self.g_state, repl)
+                self.d_state = jax.device_put(self.d_state, repl)
 
         self.step_fn = make_jitted_train_step(self.g_model, self.d_model, hps)
         self.global_step = 0
