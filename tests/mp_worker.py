@@ -104,6 +104,14 @@ def main():
     n_local = len(jax.local_devices())
     assert n_global == args.num_processes * n_local
 
+    # establish the cross-process gloo context NOW, while both workers are
+    # at the same point: gloo's KV handshake has a fixed 30 s deadline, and
+    # on a contended 1-core host the model-init/compile skew between the
+    # two workers can exceed it if the first collective comes later
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("gloo-context-warmup")
+
     import numpy as np
 
     from personalized_text_to_speech_tpu.parallel import (
@@ -120,6 +128,23 @@ def main():
     batch = build_batch(b, tt, ts, HOP)
 
     mesh = create_mesh({"data": -1})
+
+    # pre-establish the full-mesh gloo clique with a tiny all-reduce: gloo
+    # builds one context per communicator clique with a 30 s KV deadline,
+    # and the big-step compile skew between workers (compile-cache races on
+    # a contended host) can exceed it — the tiny psum compiles in seconds
+    # on both sides, so the clique exists before the real step runs
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    warm = jax.device_put(
+        np.ones((n_global,), np.float32), NamedSharding(mesh, P("data"))
+    )
+    total = jax.jit(
+        jnp.sum, out_shardings=NamedSharding(mesh, P())
+    )(warm)
+    assert float(total) == n_global
+
     g_state = jax.device_put(
         create_train_state(g_model.apply, g_params, hps, 4), replicated(mesh)
     )

@@ -29,7 +29,8 @@ def server():
     eng.tts("Warm up now.", speaker=0, language="English")
 
     args = argparse.Namespace(
-        host="127.0.0.1", port=0, max_body_mb=1, share=False
+        host="127.0.0.1", port=0, max_body_mb=1, share=False,
+        max_batch=8, batch_window_ms=50.0,
     )
 
     import tools.serve as serve_mod
@@ -121,6 +122,41 @@ class TestHttpApi:
         pcm = np.frombuffer(body[44:], dtype="<i2")
         assert len(pcm) > 16 * 64  # more than one chunk of audio
         assert np.abs(pcm).max() > 0
+
+    def test_concurrent_tts_micro_batches(self, server):
+        """Concurrent /tts requests must share device dispatches (the
+        micro-batcher, infer/batching.py) — and every caller still gets
+        its own correct wav back."""
+        n = 6
+        results = [None] * n
+        errors = []
+
+        def call(i):
+            try:
+                resp = _post(f"{server}/tts", {
+                    "text": f"Concurrent request number {i}.",
+                    "speaker": 0, "language": "English",
+                })
+                results[i] = resp.read()
+            except Exception as e:  # pragma: no cover - failure path
+                errors.append(e)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        for body in results:
+            assert body is not None
+            with wave.open(io.BytesIO(body)) as w:
+                assert w.getnframes() > 0
+        stats = json.loads(urllib.request.urlopen(f"{server}/stats").read())
+        assert stats["requests"] >= n
+        # at least one dispatch carried multiple requests, and batching
+        # strictly beat one-dispatch-per-request
+        assert stats["max_batch_seen"] >= 2
+        assert stats["dispatches"] < stats["requests"]
 
     def test_error_surfaces_as_json(self, server):
         with pytest.raises(urllib.error.HTTPError) as e:

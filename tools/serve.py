@@ -96,10 +96,17 @@ def serve_http(eng, args):
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    from personalized_text_to_speech_tpu.infer.batching import MicroBatcher
+
     # requests are handled concurrently (slow clients don't block others
     # during response transfer) but device work is serialized: the engine's
-    # jit caches and RNG counter are not re-entrant
-    synth_lock = threading.Lock()
+    # jit caches and RNG counter are not re-entrant.  /tts goes through the
+    # micro-batcher (concurrent requests share one device dispatch); the
+    # streaming/VC/long-form paths take the same device lock directly.
+    batcher = MicroBatcher(
+        eng, max_batch=args.max_batch, window_ms=args.batch_window_ms
+    )
+    synth_lock = batcher.device_lock
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet
@@ -117,6 +124,8 @@ def serve_http(eng, args):
                 self._send(200, b"ok", "text/plain")
             elif self.path == "/speakers":
                 self._send(200, json.dumps(eng.speakers).encode())
+            elif self.path == "/stats":
+                self._send(200, json.dumps(batcher.stats).encode())
             else:
                 self._send(404, b"{}")
 
@@ -144,9 +153,16 @@ def serve_http(eng, args):
                     language = req.get("language", None)
                     speed = float(req.get("speed", 1.0))
                     long_form = bool(req.get("long_form", False))
-                    fn = eng.long_form if long_form else eng.tts
-                    with synth_lock:
-                        sr, wav = fn(
+                    if long_form:
+                        with synth_lock:
+                            sr, wav = eng.long_form(
+                                text, speaker=speaker, language=language,
+                                speed=speed,
+                            )
+                    else:
+                        # micro-batched: concurrent requests ride one
+                        # device dispatch (batching.py)
+                        sr, wav = batcher.tts(
                             text, speaker=speaker, language=language,
                             speed=speed,
                         )
@@ -243,6 +259,13 @@ def main():
                              "0.0.0.0 explicitly to expose externally)")
     parser.add_argument("--max-body-mb", type=int, default=32,
                         help="reject request bodies larger than this (MiB)")
+    parser.add_argument("--max-batch", type=int, default=16,
+                        help="micro-batcher: max concurrent /tts requests "
+                             "per device dispatch")
+    parser.add_argument("--batch-window-ms", type=float, default=5.0,
+                        help="micro-batcher: how long the first queued "
+                             "request waits for stragglers (0 disables "
+                             "batching in all but back-to-back load)")
     parser.add_argument("--random-init", action="store_true")
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
