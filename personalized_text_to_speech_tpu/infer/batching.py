@@ -93,6 +93,23 @@ class MicroBatcher:
             raise req.error
         return self.engine.sampling_rate, req.result
 
+    def warmup(
+        self,
+        texts: Sequence[str] = ("Warming up the serving batcher now.",),
+        language: Optional[str] = None,
+        speaker=0,
+    ) -> None:
+        """Compile every power-of-two batch shape the batcher can emit for
+        the given texts' buckets (first requests then never hit a compile)."""
+        sid = self.engine.speaker_id(speaker)
+        for text in texts:
+            ids = self.engine.text_to_ids(text, language)
+            size = 1
+            while size <= self.max_batch:
+                with self.device_lock:
+                    self.engine.synthesize_ids([ids] * size, [sid] * size)
+                size *= 2
+
     def close(self) -> None:
         self._q.put(_STOP)
         self._worker.join(timeout=10)
@@ -124,15 +141,25 @@ class MicroBatcher:
                 groups.setdefault(r.params, []).append(r)
             for params, reqs in groups.items():
                 noise_scale, noise_scale_w, length_scale = params
+                # pad the batch dim to the next power of two (duplicating
+                # the last row): XLA compiles one program per batch size,
+                # so unconstrained sizes would compile up to max_batch
+                # variants per bucket pair — padding bounds it to
+                # log2(max_batch) shapes, all warmable up front
+                ids = [r.ids for r in reqs]
+                sids = [r.sid for r in reqs]
+                n = len(reqs)
+                target = 1 << (n - 1).bit_length()
+                ids += [ids[-1]] * (target - n)
+                sids += [sids[-1]] * (target - n)
                 try:
                     with self.device_lock:
                         wavs = self.engine.synthesize_ids(
-                            [r.ids for r in reqs],
-                            [r.sid for r in reqs],
+                            ids, sids,
                             noise_scale=noise_scale,
                             noise_scale_w=noise_scale_w,
                             length_scale=length_scale,
-                        )
+                        )[:n]
                     for r, w in zip(reqs, wavs):
                         r.result = w
                 except BaseException as e:  # deliver, don't kill the worker
