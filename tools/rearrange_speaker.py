@@ -23,6 +23,10 @@ def main():
     parser.add_argument("--config_dir", type=str, default="./finetune_speaker.json")
     parser.add_argument("--out_model", type=str, default="./G_compact.pth")
     parser.add_argument("--out_config", type=str, default="./finetune_speaker_compact.json")
+    parser.add_argument("--out_moegoe", type=str, default="./moegoe_config.json",
+                        help="MoeGoe-format config copy (speakers as an "
+                             "id-ordered name list, reference "
+                             "rearrange_speaker.py:31-34); '' disables")
     args = parser.parse_args()
 
     from personalized_text_to_speech_tpu.config import load_hparams, save_hparams
@@ -55,8 +59,18 @@ def main():
     hps["speakers"] = new_map
     hps.data.n_speakers = len(new_map)
     save_hparams(hps, args.out_config)
+    if args.out_moegoe:
+        # MoeGoe ecosystem expects `speakers` as an id-ordered name list
+        with open(args.out_config, encoding="utf-8") as f:
+            cfg = json.load(f)
+        cfg["speakers"] = [
+            name for name, _ in sorted(new_map.items(), key=lambda kv: kv[1])
+        ]
+        with open(args.out_moegoe, "w", encoding="utf-8") as f:
+            json.dump(cfg, f, indent=2, ensure_ascii=False)
     print(f"compacted {emb.shape[0]} → {len(new_map)} speakers: "
-          f"{args.out_model}, {args.out_config}")
+          f"{args.out_model}, {args.out_config}"
+          + (f", {args.out_moegoe}" if args.out_moegoe else ""))
 
 
 if __name__ == "__main__":
