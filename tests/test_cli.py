@@ -130,6 +130,45 @@ class TestEvalVcCli:
             assert np.isfinite(data[key]["MCD"])
 
 
+class TestRearrangeSpeakerCli:
+    def test_compacts_and_emits_moegoe(self, tiny_config, tmp_path):
+        import jax
+
+        from personalized_text_to_speech_tpu.config import (
+            load_hparams, save_hparams,
+        )
+        from personalized_text_to_speech_tpu.infer.engine import TTSEngine
+        from personalized_text_to_speech_tpu.utils import torch_compat as tc
+
+        hps = load_hparams(tiny_config)
+        engine = TTSEngine(hps)
+        model_path = str(tmp_path / "G.pth")
+        tc.save_torch_checkpoint(jax.device_get(engine.params), model_path)
+        # config keeping only 2 of the 4 speakers, shuffled ids
+        hps["speakers"] = {"carol": 3, "alice": 0}
+        cfg_path = str(tmp_path / "cfg.json")
+        save_hparams(hps, cfg_path)
+
+        out_model = str(tmp_path / "G_compact.pth")
+        out_cfg = str(tmp_path / "compact.json")
+        out_moegoe = str(tmp_path / "moegoe.json")
+        r = run_tool(
+            [REPO + "/tools/rearrange_speaker.py", "--model_dir", model_path,
+             "--config_dir", cfg_path, "--out_model", out_model,
+             "--out_config", out_cfg, "--out_moegoe", out_moegoe]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        cfg = json.loads(open(out_cfg).read())
+        assert cfg["speakers"] == {"alice": 0, "carol": 1}
+        assert cfg["data"]["n_speakers"] == 2
+        moegoe = json.loads(open(out_moegoe).read())
+        assert moegoe["speakers"] == ["alice", "carol"]
+        import torch
+
+        sd = torch.load(out_model, map_location="cpu", weights_only=False)
+        assert sd["model"]["emb_g.weight"].shape[0] == 2
+
+
 class TestEvalPairCli:
     def test_metrics_printed(self, tmp_path):
         from personalized_text_to_speech_tpu.data.audio import save_wav
