@@ -18,6 +18,13 @@ Device work stays single-threaded by construction (the worker is the only
 caller), matching the engine's non-reentrant jit caches.  Share
 ``device_lock`` with any other device user (streaming, VC) to serialize
 against them.
+
+Backpressure: admission is bounded by ``max_queue`` pending requests.  When
+arrivals outpace the device (sustained overload), new requests are shed
+immediately with ``OverloadedError`` instead of queueing without bound —
+the HTTP layer maps this to 503 so clients can back off, and in-flight
+latency stays bounded by ``max_queue/throughput``.  The reference's Gradio
+app (``VC_inference.py:77-99``) queues unboundedly per round trip.
 """
 
 from __future__ import annotations
@@ -30,9 +37,13 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["MicroBatcher"]
+__all__ = ["MicroBatcher", "OverloadedError"]
 
 _STOP = object()
+
+
+class OverloadedError(RuntimeError):
+    """Admission queue is full — shed the request (HTTP 503)."""
 
 
 @dataclass
@@ -52,15 +63,17 @@ class MicroBatcher:
         max_batch: int = 16,
         window_ms: float = 5.0,
         device_lock: Optional[threading.Lock] = None,
+        max_queue: int = 64,
     ):
         self.engine = engine
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1000.0
         self.device_lock = device_lock or threading.Lock()
         self.stats: Dict[str, Any] = {
-            "requests": 0, "dispatches": 0, "max_batch_seen": 0,
+            "requests": 0, "dispatches": 0, "max_batch_seen": 0, "shed": 0,
         }
-        self._q: "queue.Queue" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self._q: "queue.Queue" = queue.Queue(maxsize=int(max_queue))
         self._worker = threading.Thread(
             target=self._run, name="microbatcher", daemon=True
         )
@@ -86,7 +99,14 @@ class MicroBatcher:
             params=(float(noise_scale), float(noise_scale_w),
                     1.0 / float(speed)),
         )
-        self._q.put(req)
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            with self._stats_lock:
+                self.stats["shed"] += 1
+            raise OverloadedError(
+                "admission queue full — server overloaded, retry later"
+            ) from None
         if not req.done.wait(timeout):
             raise TimeoutError("synthesis timed out")
         if req.error is not None:
@@ -109,6 +129,13 @@ class MicroBatcher:
                 with self.device_lock:
                     self.engine.synthesize_ids([ids] * size, [sid] * size)
                 size *= 2
+
+    def stats_snapshot(self) -> Dict[str, Any]:
+        """Stats plus the instantaneous admission-queue depth."""
+        snap = dict(self.stats)
+        snap["queue_depth"] = self._q.qsize()
+        snap["max_queue"] = self._q.maxsize
+        return snap
 
     def close(self) -> None:
         self._q.put(_STOP)

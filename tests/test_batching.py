@@ -7,7 +7,10 @@ import time
 import numpy as np
 import pytest
 
-from personalized_text_to_speech_tpu.infer.batching import MicroBatcher
+from personalized_text_to_speech_tpu.infer.batching import (
+    MicroBatcher,
+    OverloadedError,
+)
 
 
 class FakeEngine:
@@ -90,6 +93,46 @@ class TestMicroBatcher:
             t.join(timeout=30)
         assert len(eng.calls) == 2  # incompatible scalars never share a call
         assert {c[1][0] for c in eng.calls} == {0.5, 0.9}
+        mb.close()
+
+    def test_overload_sheds_with_bounded_queue(self):
+        # slow device + tiny admission queue: a burst larger than
+        # queue + in-flight must shed, not queue unboundedly
+        eng = FakeEngine(delay=0.2)
+        mb = MicroBatcher(eng, max_batch=1, window_ms=0.0, max_queue=2)
+        ok, shed = [], []
+        lock = threading.Lock()
+
+        def call(i):
+            try:
+                sr, wav = mb.tts("abcd", speaker=i)
+                with lock:
+                    ok.append((i, wav))
+            except OverloadedError:
+                with lock:
+                    shed.append(i)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(ok) + len(shed) == 10
+        assert shed, "burst of 10 into queue of 2 must shed"
+        assert ok, "admitted requests must still complete"
+        for i, wav in ok:
+            assert wav[0] == float(i)  # shed never corrupts admitted results
+        assert mb.stats["shed"] == len(shed)
+        snap = mb.stats_snapshot()
+        assert snap["max_queue"] == 2 and "queue_depth" in snap
+        mb.close()
+
+    def test_no_shed_under_bound(self):
+        eng = FakeEngine()
+        mb = MicroBatcher(eng, max_batch=8, window_ms=1.0, max_queue=64)
+        for _ in range(5):
+            mb.tts("abc", speaker=0)
+        assert mb.stats["shed"] == 0
         mb.close()
 
     def test_error_delivered_not_fatal(self):

@@ -10,6 +10,13 @@ p50/p95 request latency, and the dispatch batching factor actually achieved.
 
 Compare ``--clients 1`` (no batching possible) with ``--clients 8/16`` to
 see the micro-batcher turning concurrency into batch throughput.
+
+Overload regime: with ``--clients`` well past saturation (e.g. 64) the
+bounded admission queue (``--max_queue``) sheds excess load instead of
+letting latency grow without bound; shed requests are counted and the
+client backs off briefly before retrying.  Reports p99 latency and the
+shed rate so the saturation behavior is characterized, not just the
+throughput curve.
 """
 
 import argparse
@@ -40,6 +47,9 @@ def main():
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--duration", type=float, default=20.0)
     ap.add_argument("--max_batch", type=int, default=16)
+    ap.add_argument("--max_queue", type=int, default=64)
+    ap.add_argument("--backoff_ms", type=float, default=50.0,
+                    help="client sleep after a shed before retrying")
     ap.add_argument("--window_ms", type=float, default=5.0)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
@@ -48,7 +58,10 @@ def main():
 
     from personalized_text_to_speech_tpu.config import default_model_config
     from personalized_text_to_speech_tpu.infer import TTSEngine
-    from personalized_text_to_speech_tpu.infer.batching import MicroBatcher
+    from personalized_text_to_speech_tpu.infer.batching import (
+        MicroBatcher,
+        OverloadedError,
+    )
     from personalized_text_to_speech_tpu.utils import runtime
 
     runtime.enable_compilation_cache()
@@ -57,7 +70,8 @@ def main():
     hps = default_model_config(n_speakers=999)
     eng = TTSEngine(hps, dtype=args.dtype)
     batcher = MicroBatcher(
-        eng, max_batch=args.max_batch, window_ms=args.window_ms
+        eng, max_batch=args.max_batch, window_ms=args.window_ms,
+        max_queue=args.max_queue,
     )
 
     # warm every sentence's bucket at every power-of-two batch size the
@@ -67,6 +81,7 @@ def main():
     warm_done = threading.Event()
 
     lat, audio_s = [], []
+    sheds = [0]
     lock = threading.Lock()
     stop = time.monotonic() + args.duration
 
@@ -77,7 +92,13 @@ def main():
             text = SENTENCES[j % len(SENTENCES)]
             j += 1
             t0 = time.perf_counter()
-            sr, wav = batcher.tts(text, speaker=i % 8, language="English")
+            try:
+                sr, wav = batcher.tts(text, speaker=i % 8, language="English")
+            except OverloadedError:
+                with lock:
+                    sheds[0] += 1
+                time.sleep(args.backoff_ms / 1000.0)
+                continue
             dt = time.perf_counter() - t0
             with lock:
                 lat.append(dt)
@@ -106,6 +127,10 @@ def main():
         "audio_s_per_wall_s": round(float(np.sum(audio_s)) / wall, 1),
         "latency_p50_ms": round(float(np.percentile(lat_np, 50)) * 1000, 1),
         "latency_p95_ms": round(float(np.percentile(lat_np, 95)) * 1000, 1),
+        "latency_p99_ms": round(float(np.percentile(lat_np, 99)) * 1000, 1),
+        "shed": sheds[0],
+        "shed_rate": round(sheds[0] / max(sheds[0] + len(lat), 1), 3),
+        "max_queue": args.max_queue,
         "dispatches": batcher.stats["dispatches"],
         "mean_batch": round(
             batcher.stats["requests"] / max(batcher.stats["dispatches"], 1), 2

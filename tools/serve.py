@@ -96,7 +96,10 @@ def serve_http(eng, args):
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    from personalized_text_to_speech_tpu.infer.batching import MicroBatcher
+    from personalized_text_to_speech_tpu.infer.batching import (
+        MicroBatcher,
+        OverloadedError,
+    )
 
     # requests are handled concurrently (slow clients don't block others
     # during response transfer) but device work is serialized: the engine's
@@ -104,7 +107,8 @@ def serve_http(eng, args):
     # micro-batcher (concurrent requests share one device dispatch); the
     # streaming/VC/long-form paths take the same device lock directly.
     batcher = MicroBatcher(
-        eng, max_batch=args.max_batch, window_ms=args.batch_window_ms
+        eng, max_batch=args.max_batch, window_ms=args.batch_window_ms,
+        max_queue=args.max_queue,
     )
     synth_lock = batcher.device_lock
 
@@ -125,7 +129,7 @@ def serve_http(eng, args):
             elif self.path == "/speakers":
                 self._send(200, json.dumps(eng.speakers).encode())
             elif self.path == "/stats":
-                self._send(200, json.dumps(batcher.stats).encode())
+                self._send(200, json.dumps(batcher.stats_snapshot()).encode())
             else:
                 self._send(404, b"{}")
 
@@ -238,6 +242,16 @@ def serve_http(eng, args):
                     self._send(200, wav_bytes(sr, wav), "audio/wav")
                 else:
                     self._send(404, b"{}")
+            except OverloadedError:
+                # bounded admission queue full — shed load so latency stays
+                # bounded; clients should back off and retry
+                self.send_response(503)
+                body = json.dumps({"error": "server overloaded"}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             except Exception as e:  # surface the error to the client
                 self._send(
                     400, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
@@ -262,6 +276,9 @@ def main():
     parser.add_argument("--max-batch", type=int, default=16,
                         help="micro-batcher: max concurrent /tts requests "
                              "per device dispatch")
+    parser.add_argument("--max-queue", type=int, default=64,
+                        help="micro-batcher admission-queue bound; beyond "
+                             "it /tts sheds load with HTTP 503")
     parser.add_argument("--batch-window-ms", type=float, default=5.0,
                         help="micro-batcher: how long the first queued "
                              "request waits for stragglers (0 disables "
