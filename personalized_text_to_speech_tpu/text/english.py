@@ -636,6 +636,226 @@ _LEXICON = {
     "səkˈsɛsfəl", "sweet": "swit", "terrible": "ˈtɛrəbəl",
     "total": "ˈtoʊtəl", "useful": "ˈjusfəl", "various": "ˈvɛriəs",
     "wonderful": "ˈwəndərfəl", "wrong": "rɔŋ",
+    # fourth tranche: high-frequency words from a measured OOV sweep
+    # over real prose (tools/eval_g2p.py) — general vocabulary,
+    # software/technical terms, and spelled letter names
+    "as": "æz",
+    "which": "wɪʧ",
+    "base": "beɪs",
+    "instead": "ɪnˈstɛd",
+    "relate": "rɪˈleɪt",
+    "alt": "ɔlt",
+    "via": "ˈvaɪə",
+    "per": "pər",
+    "non": "nɑn",
+    "etc": "ɛtˈsɛtərə",
+    "available": "əˈveɪləbəl",
+    "development": "dɪˈvɛləpmənt",
+    "multiple": "ˈməltəpəl",
+    "additional": "əˈdɪʃənəl",
+    "addition": "əˈdɪʃən",
+    "requirement": "rɪˈkwaɪərmənt",
+    "specific": "spəˈsɪfɪk",
+    "specify": "ˈspɛsəˌfaɪ",
+    "generate": "ˈʤɛnəˌreɪt",
+    "depend": "dɪˈpɛnd",
+    "dependency": "dɪˈpɛndənsi",
+    "description": "dɪˈskrɪpʃən",
+    "define": "dɪˈfaɪn",
+    "definition": "ˌdɛfəˈnɪʃən",
+    "contribute": "kənˈtrɪbjut",
+    "maintain": "meɪnˈteɪn",
+    "code": "koʊd",
+    "python": "ˈpaɪθɑn",
+    "install": "ɪnˈstɔl",
+    "installation": "ˌɪnstəˈleɪʃən",
+    "github": "ˈgɪtˌhəb",
+    "git": "gɪt",
+    "documentation": "ˌdɑkjəmənˈteɪʃən",
+    "document": "ˈdɑkjəmənt",
+    "default": "dɪˈfɔlt",
+    "license": "ˈlaɪsəns",
+    "package": "ˈpækɪʤ",
+    "api": "ˌeɪˌpiˈaɪ",
+    "google": "ˈgugəl",
+    "add": "æd",
+    "import": "ˈɪmpɔrt",
+    "export": "ˈɛkspɔrt",
+    "file": "faɪl",
+    "function": "ˈfəŋkʃən",
+    "data": "ˈdeɪtə",
+    "block": "blɑk",
+    "align": "əˈlaɪn",
+    "module": "ˈmɑʤul",
+    "environment": "ɪnˈvaɪrənmənt",
+    "url": "ˌjuˌɑrˈɛl",
+    "release": "rɪˈlis",
+    "cloud": "klaʊd",
+    "client": "ˈklaɪənt",
+    "string": "strɪŋ",
+    "format": "ˈfɔrmæt",
+    "performance": "pərˈfɔrməns",
+    "output": "ˈaʊtˌpʊt",
+    "input": "ˈɪnˌpʊt",
+    "bug": "bəg",
+    "error": "ˈɛrər",
+    "command": "kəˈmænd",
+    "server": "ˈsərvər",
+    "request": "rɪˈkwɛst",
+    "feature": "ˈfiʧər",
+    "optional": "ˈɑpʃənəl",
+    "config": "kənˈfɪg",
+    "configuration": "kənˌfɪgjəˈreɪʃən",
+    "directory": "dəˈrɛktəri",
+    "token": "ˈtoʊkən",
+    "update": "əpˈdeɪt",
+    "delete": "dɪˈlit",
+    "index": "ˈɪndɛks",
+    "node": "noʊd",
+    "parse": "pɑrs",
+    "branch": "brænʧ",
+    "merge": "mərʤ",
+    "commit": "kəˈmɪt",
+    "pip": "pɪp",
+    "repository": "rɪˈpɑzəˌtɔri",
+    "script": "skrɪpt",
+    "syntax": "ˈsɪnˌtæks",
+    "array": "əˈreɪ",
+    "integer": "ˈɪntəʤər",
+    "float": "floʊt",
+    "boolean": "ˈbuliən",
+    "variable": "ˈvɛriəbəl",
+    "parameter": "pəˈræmətər",
+    "argument": "ˈɑrgjəmənt",
+    "attribute": "ˈætrəˌbjut",
+    "instance": "ˈɪnstəns",
+    "interface": "ˈɪntərˌfeɪs",
+    "framework": "ˈfreɪmˌwərk",
+    "runtime": "ˈrənˌtaɪm",
+    "compile": "kəmˈpaɪl",
+    "debug": "diˈbəg",
+    "execute": "ˈɛksəˌkjut",
+    "implement": "ˈɪmpləˌmɛnt",
+    "implementation": "ˌɪmpləmɛnˈteɪʃən",
+    "algorithm": "ˈælgəˌrɪðəm",
+    "database": "ˈdeɪtəˌbeɪs",
+    "protocol": "ˈproʊtəˌkɔl",
+    "hardware": "ˈhɑrdˌwɛr",
+    "folder": "ˈfoʊldər",
+    "upload": "ˈəpˌloʊd",
+    "download": "ˈdaʊnˌloʊd",
+    "browser": "ˈbraʊzər",
+    "website": "ˈwɛbˌsaɪt",
+    "web": "wɛb",
+    "email": "ˈiˌmeɪl",
+    "online": "ˌɔnˈlaɪn",
+    "offline": "ˌɔfˈlaɪn",
+    "username": "ˈjuzərˌneɪm",
+    "password": "ˈpæsˌwərd",
+    "login": "ˈlɔgˌɪn",
+    "setting": "ˈsɛtɪŋ",
+    "button": "ˈbətən",
+    "display": "dɪˈspleɪ",
+    "keyboard": "ˈkiˌbɔrd",
+    "click": "klɪk",
+    "icon": "ˈaɪˌkɑn",
+    "menu": "ˈmɛnju",
+    "tab": "tæb",
+    "filter": "ˈfɪltər",
+    "sort": "sɔrt",
+    "load": "loʊd",
+    "cache": "kæʃ",
+    "disk": "dɪsk",
+    "thread": "θrɛd",
+    "stack": "stæk",
+    "loop": "lup",
+    "operator": "ˈɑpəˌreɪtər",
+    "reference": "ˈrɛfərəns",
+    "pointer": "ˈpɔɪntər",
+    "address": "ˈæˌdrɛs",
+    "buffer": "ˈbəfər",
+    "handler": "ˈhændlər",
+    "callback": "ˈkɔlˌbæk",
+    "session": "ˈsɛʃən",
+    "log": "lɔg",
+    "trace": "treɪs",
+    "metric": "ˈmɛtrɪk",
+    "benchmark": "ˈbɛnʧˌmɑrk",
+    "latency": "ˈleɪtənsi",
+    "throughput": "ˈθruˌpʊt",
+    "bandwidth": "ˈbændˌwɪdθ",
+    "kernel": "ˈkərnəl",
+    "tensor": "ˈtɛnsər",
+    "vector": "ˈvɛktər",
+    "matrix": "ˈmeɪtrɪks",
+    "gradient": "ˈgreɪdiənt",
+    "neural": "ˈnʊrəl",
+    "frequency": "ˈfrikwənsi",
+    "channel": "ˈʧænəl",
+    "batch": "bæʧ",
+    "epoch": "ˈɛpək",
+    "inference": "ˈɪnfərəns",
+    "device": "dɪˈvaɪs",
+    "chip": "ʧɪp",
+    "core": "kɔr",
+    "docs": "dɑks",
+    "doc": "dɑk",
+    "plugin": "ˈpləgˌɪn",
+    "widget": "ˈwɪʤət",
+    "template": "ˈtɛmplət",
+    "schema": "ˈskimə",
+    "query": "ˈkwɪri",
+    "column": "ˈkɑləm",
+    "row": "roʊ",
+    "graph": "græf",
+    "hash": "hæʃ",
+    "encode": "ɪnˈkoʊd",
+    "decode": "diˈkoʊd",
+    "encrypt": "ɪnˈkrɪpt",
+    "secure": "sɪˈkjʊr",
+    "certificate": "sərˈtɪfɪkət",
+    "none": "nən", "usage": "ˈjusɪʤ", "console": "ˈkɑnˌsoʊl",
+    "copyright": "ˈkɑpiˌraɪt", "contribution": "ˌkɑntrəˈbjuʃən",
+    "unicode": "ˈjunɪˌkoʊd", "linux": "ˈlɪnəks", "dont": "doʊnt",
+    "json": "ˈʤeɪˌsɑn", "width": "wɪdθ", "height": "haɪt",
+    "match": "mæʧ", "regex": "ˈrɛʤˌɛks", "async": "ˌeɪˈsɪŋk",
+    "sync": "sɪŋk", "backend": "ˈbækˌɛnd", "frontend": "ˈfrəntˌɛnd",
+    "null": "nəl", "tuple": "ˈtupəl",
+    "iterator": "ˈɪtəˌreɪtər", "readme": "ˈridˌmi", "wheel": "wil",
+    "binary": "ˈbaɪnəri", "decimal": "ˈdɛsəməl", "octal": "ˈɑktəl",
+    "prefix": "ˈpriˌfɪks", "suffix": "ˈsəˌfɪks", "stream": "strim",
+    "whitespace": "ˈwaɪtˌspeɪs",
+    "timeout": "ˈtaɪmˌaʊt", "timestamp": "ˈtaɪmˌstæmp",
+    "metadata": "ˈmɛtəˌdeɪtə", "namespace": "ˈneɪmˌspeɪs",
+    "validate": "ˈvæləˌdeɪt", "validation": "ˌvæləˈdeɪʃən",
+    "deprecated": "ˈdɛprəˌkeɪtəd", "legacy": "ˈlɛgəsi",
+    "tutorial": "tuˈtɔriəl", "wiki": "ˈwɪki", "forum": "ˈfɔrəm",
+    # spelled letter names (lone letters in prose read as letter names;
+    # "a" and "i" stay words — their letter readings live in _LETTER_NAMES)
+    "b": "bi",
+    "c": "si",
+    "d": "di",
+    "e": "i",
+    "f": "ɛf",
+    "g": "ʤi",
+    "h": "eɪʧ",
+    "j": "ʤeɪ",
+    "k": "keɪ",
+    "l": "ɛl",
+    "m": "ɛm",
+    "n": "ɛn",
+    "o": "oʊ",
+    "p": "pi",
+    "q": "kju",
+    "r": "ɑr",
+    "s": "ɛs",
+    "t": "ti",
+    "u": "ju",
+    "v": "vi",
+    "w": "ˈdəbəlju",
+    "x": "ɛks",
+    "y": "waɪ",
+    "z": "zi",
 }
 
 # Letter-to-sound rules, tried longest-match-first at each position.
@@ -654,7 +874,7 @@ _LTS_RULES = [
     ("ought", "ɔt"), ("aught", "ɔt"),
     ("ch", "ʧ"), ("sh", "ʃ"), ("th", "θ"), ("ph", "f"), ("wh", "w"),
     ("ck", "k"), ("ng", "ŋ"), ("qu", "kw"), ("gh", "g"), ("kn", "n"),
-    ("wr", "r"), ("gn", "n"), ("mb", "m"), ("dge", "ʤ"),
+    ("wr", "r"), ("gn", "n"), ("mb", "m"), ("dge", "ʤ"), ("dg", "ʤ"),
     # vowel teams
     ("eau", "oʊ"), ("iou", "jə"),
     ("ai", "eɪ"), ("ay", "eɪ"), ("ee", "i"), ("ea", "i"), ("ey", "i"),
@@ -688,6 +908,10 @@ def _lts_word(word: str) -> str:
     silent_e = len(body) > 2 and body.endswith("e") and body[-2] not in "aeiou"
     if silent_e:
         body = body[:-1]
+        if body.endswith("dg"):
+            silent_e = False  # "-dge" keeps its short vowel (fudge, bridge)
+    # doubled consonant letters read as one sound ("dwell", "glass")
+    body = re.sub(r"([bcdfglmnprstz])\1", r"\1", body)
     i = 0
     while i < len(body):
         # context-sensitive soft c/g
@@ -723,13 +947,140 @@ def _lts_word(word: str) -> str:
 
 _WORD_RE = re.compile(r"[a-z']+|[^a-z']")
 
+# ---- morphological fallback: inflected forms of lexicon words -------------
+# English inflection is regular enough that "users", "fixed", "logging",
+# "nicely" should resolve through the lexicon entry for their stem instead
+# of falling to raw letter-to-sound (the reference's eng_to_ipa dictionary
+# covers inflections natively, reference text/english.py:160-166).  Suffix
+# phonology follows the standard voicing-assimilation rules.
+
+_VOICELESS_FINAL = set("ptkfθsʃʧh")
+_SIBILANT_FINAL = set("szʃʒʧʤ")
+
+
+def _final_phone(ipa: str) -> str:
+    for ch in reversed(ipa):
+        if ch not in "ˈˌː":
+            return ch
+    return ""
+
+
+def _plural_ipa(ipa: str) -> str:
+    f = _final_phone(ipa)
+    if f in _SIBILANT_FINAL:
+        return ipa + "ɪz"
+    if f in _VOICELESS_FINAL:
+        return ipa + "s"
+    return ipa + "z"
+
+
+def _past_ipa(ipa: str) -> str:
+    f = _final_phone(ipa)
+    if f in "td":
+        return ipa + "ɪd"
+    if f in _VOICELESS_FINAL:
+        return ipa + "t"
+    return ipa + "d"
+
+
+def _morph_word(word: str, depth: int = 0):
+    """IPA for an out-of-lexicon word via stem lookup + regular suffix
+    phonology; None when no lexicon stem matches."""
+
+    def stem_ipa(w: str):
+        hit = _LEXICON.get(w)
+        if hit is None and depth < 1 and len(w) > 3:
+            hit = _morph_word(w, depth + 1)
+        return hit
+
+    n = len(word)
+    # plural / possessive / 3rd-person -s
+    if n > 3 and word.endswith("ies"):
+        base = stem_ipa(word[:-3] + "y")
+        if base:
+            return base + "z"  # "stories": …i + z
+    if n > 3 and word.endswith("es"):
+        base = stem_ipa(word[:-2])
+        if base and _final_phone(base) in _SIBILANT_FINAL:
+            return base + "ɪz"  # "fixes"
+    if n > 2 and word.endswith("s") and not word.endswith("ss"):
+        base = stem_ipa(word[:-1])
+        if base:
+            return _plural_ipa(base)  # "values", "changes", "users"
+    # past tense -ed
+    if n > 3 and word.endswith("ied"):
+        base = stem_ipa(word[:-3] + "y")
+        if base:
+            return base + "d"  # "studied": …i + d
+    if n > 3 and word.endswith("ed"):
+        base = stem_ipa(word[:-1])  # silent-e stems: "released"
+        if base is None:
+            base = stem_ipa(word[:-2])  # "fixed"
+        if base is None and n > 4 and word[-3] == word[-4]:
+            base = stem_ipa(word[:-3])  # doubled consonant: "dropped"
+        if base:
+            return _past_ipa(base)
+    # progressive -ing
+    if n > 4 and word.endswith("ing"):
+        base = stem_ipa(word[:-3] + "e")  # "using"
+        if base is None:
+            base = stem_ipa(word[:-3])  # "following"
+        if base is None and n > 5 and word[-4] == word[-5]:
+            base = stem_ipa(word[:-4])  # "logging"
+        if base:
+            return base + "ɪŋ"
+    # adverbial -ly
+    if n > 3 and word.endswith("ly"):
+        if word.endswith("ily"):
+            base = stem_ipa(word[:-3] + "y")
+            if base and base.endswith("i"):
+                return base[:-1] + "əli"  # "easily"
+        base = stem_ipa(word[:-2])
+        if base:
+            return base + "li"
+    # comparative / agentive -er, superlative -est
+    if n > 3 and word.endswith("er"):
+        base = stem_ipa(word[:-1])  # silent-e: "nicer", "user"
+        if base is None:
+            base = stem_ipa(word[:-2])  # "player"
+        if base is None and n > 4 and word[-3] == word[-4]:
+            base = stem_ipa(word[:-3])  # "bigger"
+        if base:
+            return base + "ər"
+    if n > 4 and word.endswith("est"):
+        base = stem_ipa(word[:-2])  # silent-e: "largest"
+        if base is None:
+            base = stem_ipa(word[:-3])
+        if base:
+            return base + "əst"
+    return None
+
+
+# letter names for spelling out initialisms; "a"/"i" here are the letter
+# readings (the word readings win elsewhere because spelling only applies
+# to vowel-less tokens, which contain neither)
+_LETTER_NAMES = {"a": "eɪ", "i": "aɪ"}
+
+
+def _spell_out(word: str) -> str:
+    return " ".join(
+        _LETTER_NAMES.get(c) or _LEXICON.get(c, c) for c in word
+    )
+
 
 def _builtin_convert(text: str) -> str:
     parts = []
     for tok in _WORD_RE.findall(text):
         if tok and tok[0].isalpha():
             word = tok.replace("'", "")
-            parts.append(_LEXICON.get(word) or _lts_word(word))
+            if len(word) > 1 and not any(c in "aeiouy" for c in word):
+                # no vowel ⇒ not pronounceable as a word: spell it
+                # ("http" → letter names, like a human reader would)
+                parts.append(_spell_out(word))
+                continue
+            parts.append(
+                _LEXICON.get(word) or _morph_word(word) or _lts_word(word)
+            )
         else:
             parts.append(tok)
     return "".join(parts)

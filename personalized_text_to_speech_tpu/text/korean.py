@@ -128,24 +128,132 @@ _JAMO_TO_IPA = {
 }
 
 
+# compound (double) codas split into (kept coda, liaison onset)
+_CODA_SPLIT = {
+    "ㄳ": ("ㄱ", "ㅅ"), "ㄵ": ("ㄴ", "ㅈ"), "ㄶ": ("ㄴ", "ㅎ"),
+    "ㄺ": ("ㄹ", "ㄱ"), "ㄻ": ("ㄹ", "ㅁ"), "ㄼ": ("ㄹ", "ㅂ"),
+    "ㄽ": ("ㄹ", "ㅅ"), "ㄾ": ("ㄹ", "ㅌ"), "ㄿ": ("ㄹ", "ㅍ"),
+    "ㅀ": ("ㄹ", "ㅎ"), "ㅄ": ("ㅂ", "ㅅ"),
+}
+
+# syllable-final neutralization (받침 7-sound rule) in IPA
+_CODA_NEUT = {
+    "ㄱ": "k", "ㄲ": "k", "ㅋ": "k",
+    "ㄷ": "t", "ㅌ": "t", "ㅅ": "t", "ㅆ": "t", "ㅈ": "t", "ㅊ": "t",
+    "ㅎ": "t",
+    "ㅂ": "p", "ㅍ": "p",
+    "ㄴ": "n", "ㅁ": "m", "ㅇ": "ŋ", "ㄹ": "l",
+}
+
+_VOICED_STOP = {"k": "g", "t": "d", "p": "b", "tɕ": "dʑ"}
+_ASPIRATE = {"ㄱ": "ㅋ", "ㄷ": "ㅌ", "ㅂ": "ㅍ", "ㅈ": "ㅊ"}
+_PLAIN_ONSETS = {"ㄱ", "ㄷ", "ㅂ", "ㅈ"}
+
+
 def _hangul_to_ipa_builtin(text: str) -> str:
-    out = []
+    """Jamo → IPA with the core sandhi rules the reference gets from
+    ko_pron (reference text/korean.py:125-180): liaison, coda
+    neutralization, nasal assimilation, lateralization, post-obstruent
+    ㄹ nasalization, ㅎ-aspiration merge, and intervocalic voicing of
+    plain stops."""
+    # decompose into [onset, vowel, coda] syllables; None breaks sandhi
+    sylls = []
     for ch in text:
         code = ord(ch)
         if 0xAC00 <= code <= 0xD7A3:
             idx = code - 0xAC00
             cho, rest = divmod(idx, 21 * 28)
             jung, jong = divmod(rest, 28)
-            onset = _CHO[cho]
-            # silent ㅇ onset
-            if onset != "ㅇ":
-                out.append(_JAMO_TO_IPA.get(onset, ""))
-            out.append(_JAMO_TO_IPA.get(_JUNG[jung], ""))
-            if jong:
-                coda = _JONG[jong][-1]
-                out.append(_JAMO_TO_IPA.get(coda, ""))
+            sylls.append([_CHO[cho], _JUNG[jung], _JONG[jong] or None])
         else:
-            out.append(ch)
+            sylls.append(ch)
+
+    # pass 1 (jamo level): split double codas, liaison, ㅎ-merges
+    for i, s in enumerate(sylls):
+        if not isinstance(s, list):
+            continue
+        nxt = sylls[i + 1] if i + 1 < len(sylls) else None
+        nxt = nxt if isinstance(nxt, list) else None
+        if s[2] in _CODA_SPLIT:
+            keep, extra = _CODA_SPLIT[s[2]]
+            if extra == "ㅎ":
+                s[2] = keep  # ㄶ/ㅀ: ㅎ drops… (괜찮아요 → 괜차나요)
+                if nxt is not None and nxt[0] in _ASPIRATE:
+                    nxt[0] = _ASPIRATE[nxt[0]]  # …or aspirates (않다 → 안타)
+            elif nxt is not None and nxt[0] == "ㅇ":
+                s[2], nxt[0] = keep, extra  # 값이 → 갑시
+            else:
+                s[2] = keep
+        if nxt is None:
+            continue
+        # coda ㅎ: aspirates a following plain onset, silent before vowel
+        if s[2] == "ㅎ":
+            if nxt[0] in _ASPIRATE:
+                s[2], nxt[0] = None, _ASPIRATE[nxt[0]]  # 좋다 → 조타
+            elif nxt[0] == "ㅇ":
+                s[2] = None  # 좋아 → 조아
+        # plain liaison: coda shifts onto a vowel-initial syllable
+        elif s[2] is not None and nxt[0] == "ㅇ" and s[2] != "ㅇ":
+            moved = s[2]
+            # palatalization at the boundary: 같이 → 가치, 굳이 → 구지
+            if nxt[1] == "ㅣ" and moved in ("ㄷ", "ㅌ"):
+                moved = "ㅈ" if moved == "ㄷ" else "ㅊ"
+            s[2], nxt[0] = None, moved  # 한국어 → 한구거
+        # onset ㅎ aspirates a preceding obstruent coda (막히다 → 마키다)
+        elif s[2] in _ASPIRATE and nxt[0] == "ㅎ":
+            s[2], nxt[0] = None, _ASPIRATE[s[2]]
+
+    # pass 2 (IPA level): neutralize codas, assimilate across boundaries
+    units = []  # ("on"|"v"|"coda", ipa) or ("chr", ch)
+    for i, s in enumerate(sylls):
+        if not isinstance(s, list):
+            units.append(("chr", s))
+            continue
+        nxt = sylls[i + 1] if i + 1 < len(sylls) else None
+        nxt = nxt if isinstance(nxt, list) else None
+        if s[0] != "ㅇ":
+            on_ipa = _JAMO_TO_IPA.get(s[0], "")
+            # palatalization: ㅅ/ㅆ before i or a j-glide → ɕ (시 → ɕi)
+            if s[0] in ("ㅅ", "ㅆ") and _JAMO_TO_IPA.get(s[1], "")[:1] in (
+                "i", "j"
+            ):
+                on_ipa = "ɕ͈" if s[0] == "ㅆ" else "ɕ"
+            units.append(("on", on_ipa))
+        units.append(("v", _JAMO_TO_IPA.get(s[1], "")))
+        if s[2] is not None:
+            coda = _CODA_NEUT.get(s[2], "")
+            if nxt is not None:
+                n_on = nxt[0]
+                if coda in ("k", "t", "p"):
+                    if n_on in ("ㄴ", "ㅁ"):
+                        # nasal assimilation: 합니다 → 함니다
+                        coda = {"k": "ŋ", "t": "n", "p": "m"}[coda]
+                    elif n_on == "ㄹ":
+                        # obstruent+ㄹ: both nasalize (십리 → 심니)
+                        coda = {"k": "ŋ", "t": "n", "p": "m"}[coda]
+                        nxt[0] = "ㄴ"
+                    elif coda == "t" and n_on in ("ㅅ", "ㅆ"):
+                        coda = "s"  # 있습니다 → issɯmnida
+                elif coda == "n" and n_on == "ㄹ":
+                    coda = "l"  # lateralization: 신라 → 실라
+                elif coda in ("m", "ŋ") and n_on == "ㄹ":
+                    nxt[0] = "ㄴ"  # 음력 → 음녁
+            units.append(("coda", coda))
+
+    # pass 3: intervocalic voicing of plain stops + ㄹ/ㄴㄹ handling
+    out = []
+    for i, (kind, ipa) in enumerate(units):
+        if kind == "on":
+            prev = units[i - 1] if i else None
+            voiced_left = prev is not None and (
+                prev[0] == "v" or (prev[0] == "coda" and prev[1] in "nmŋl")
+            )
+            if voiced_left and ipa in _VOICED_STOP:
+                ipa = _VOICED_STOP[ipa]  # 한국어 → hangugə
+            elif ipa == "ɾ" and prev is not None and prev[0] == "coda" \
+                    and prev[1] == "l":
+                ipa = "l"  # 실라 → ɕilla
+        out.append(ipa if kind != "chr" else ipa)
     return "".join(out)
 
 

@@ -366,3 +366,171 @@ class TestMandarinWithoutJieba:
         monkeypatch.setattr(mandarin, "_lazy_pinyin", None)
         out = mandarin.chinese_to_ipa("今天")
         assert len(out) > 0 and "今" not in out
+
+
+class TestEnglishGoldens:
+    """Hand-verified golden IPA for the builtin fallback G2P.
+
+    The reference resolves English through the full eng_to_ipa dictionary
+    (reference text/english.py:160-166); the builtin fallback is a curated
+    lexicon + morphology + letter-to-sound rules.  These goldens pin the
+    three tiers at hand-checked General-American pronunciations; coverage
+    itself is measured by tools/eval_g2p.py.
+    """
+
+    # inflected forms resolved through a lexicon stem + regular suffix
+    # phonology (voicing assimilation, e-restoration, de-doubling)
+    MORPH_GOLDENS = {
+        "users": "juzərz", "fixes": "fɪksɪz", "fixed": "fɪkst",
+        "released": "rɪˈlist", "logging": "lɔgɪŋ", "using": "juzɪŋ",
+        "studied": "ˈstədid", "stories": "ˈstɔriz", "easily": "ˈizəli",
+        "bigger": "bɪgər", "largest": "lɑrʤəst", "based": "beɪst",
+        "versions": "ˈvərʒənz", "nicely": "naɪsli", "players": "ˈpleɪərz",
+        "dropped": "drɑpt", "changes": "ʧeɪnʤɪz", "needed": "nidɪd",
+        "values": "ˈvæljuz", "features": "ˈfiʧərz", "models": "ˈmɑdəlz",
+        "tested": "tɛstɪd", "loading": "loʊdɪŋ", "saved": "seɪvd",
+        "types": "taɪps", "parts": "pɑrts",
+    }
+
+    # pure letter-to-sound words (not in the lexicon, no lexicon stem) —
+    # the rules produce the right pronunciation for these
+    LTS_GOLDENS = {
+        "stint": "stɪnt", "crisp": "krɪsp", "drain": "dreɪn",
+        "sweep": "swip", "munch": "mənʧ", "torch": "tɔrʧ",
+        "spark": "spɑrk", "slight": "slaɪt", "shame": "ʃeɪm",
+        "dwell": "dwɛl", "scalp": "skælp", "thorn": "θɔrn",
+        "squint": "skwɪnt", "freight": "freɪt", "straw": "strɔ",
+        "hoist": "hɔɪst", "gleam": "glim", "probe": "proʊb",
+        "stale": "steɪl", "quench": "kwɛnʧ", "bright": "braɪt",
+        "chant": "ʧænt", "swoop": "swup", "plank": "plænk",
+        "drift": "drɪft", "crunch": "krənʧ", "sprain": "spreɪn",
+        "twirl": "twərl", "smudge": "sməʤ", "blot": "blɑt",
+    }
+
+    # vowel-less tokens are spelled as letter names
+    SPELL_GOLDENS = {
+        "http": "eɪʧ ti ti pi", "td": "ti di", "src": "ɛs ɑr si",
+        "xml": "ɛks ɛm ɛl", "png": "pi ɛn ʤi",
+    }
+
+    def _g2p(self, word):
+        return (english._LEXICON.get(word) or english._morph_word(word)
+                or english._lts_word(word))
+
+    def test_morphology_goldens(self):
+        bad = {w: self._g2p(w) for w, want in self.MORPH_GOLDENS.items()
+               if self._g2p(w) != want}
+        assert not bad, f"morphology mismatches: {bad}"
+
+    def test_lts_goldens(self):
+        bad = {w: self._g2p(w) for w, want in self.LTS_GOLDENS.items()
+               if self._g2p(w) != want}
+        assert not bad, f"LTS mismatches: {bad}"
+
+    def test_spell_out_goldens(self):
+        for w, want in self.SPELL_GOLDENS.items():
+            assert english._builtin_convert(w) == want
+
+    def test_lexicon_tranche4_sample(self):
+        for w, want in {
+            "python": "ˈpaɪθɑn", "which": "wɪʧ", "default": "dɪˈfɔlt",
+            "install": "ɪnˈstɔl", "library": "ˈlaɪˌbrɛri",
+            "environment": "ɪnˈvaɪrənmənt", "algorithm": "ˈælgəˌrɪðəm",
+        }.items():
+            assert english._LEXICON[w] == want
+
+    def test_oov_rate_bounded_on_real_prose(self):
+        """Token-level full-miss rate (no lexicon/morph/spelling tier) on a
+        few thousand words of real prose stays bounded."""
+        import glob
+
+        paths = sorted(glob.glob(
+            "/opt/venv/lib/python3.12/site-packages/*.dist-info/METADATA"
+        ))[:40]
+        if not paths:
+            import pytest
+
+            pytest.skip("no metadata corpus")
+        import re as _re
+
+        text = " ".join(
+            open(p, encoding="utf-8", errors="ignore").read() for p in paths
+        ).lower()
+        words = _re.findall(r"[a-z']+", text)[:20000]
+        total = miss = 0
+        for tok in words:
+            w = tok.replace("'", "")
+            if not w:
+                continue
+            total += 1
+            if w in english._LEXICON:
+                continue
+            if len(w) > 1 and not any(c in "aeiouy" for c in w):
+                continue
+            if english._morph_word(w) is not None:
+                continue
+            miss += 1
+        assert total > 5000
+        assert miss / total < 0.45, f"OOV {miss}/{total}"
+
+
+class TestKoreanGoldens:
+    """Hand-verified Korean phrase goldens through the builtin sandhi
+    engine (liaison, coda neutralization, nasal assimilation,
+    lateralization, ㅎ-rules, palatalization, intervocalic voicing) —
+    the phonology the reference gets from ko_pron
+    (reference text/korean.py:125-180).  Expected strings are in the
+    folded cjke vocabulary (ʌ→ə, ɕ→ʃ, tense marks dropped).
+    """
+
+    GOLDENS = [
+        ("안녕하세요", "annjəŋhasejo"),
+        ("감사합니다", "kamsahamnida"),
+        ("한국어", "hangugə"),
+        ("사랑해요", "saɾaŋhɛjo"),
+        ("좋아요", "tʃoajo"),
+        ("좋다", "tʃotʰa"),
+        ("같이", "katʃʰi"),
+        ("있습니다", "issɯmnida"),
+        ("국물", "kuŋmul"),
+        ("십리", "ʃimni"),
+        ("음력", "ɯmnjək"),
+        ("신라", "ʃilla"),
+        ("값이", "kapʃi"),
+        ("막히다", "makʰida"),
+        ("어떻게", "ətəkʰe"),
+        ("괜찮아요", "kwɛntʃʰanajo"),
+        ("않다", "antʰa"),
+        ("맛있어요", "maʃisəjo"),
+        ("반갑습니다", "pangapsɯmnida"),
+        ("미안해요", "mianhɛjo"),
+        ("잘자요", "tʃaldʑajo"),
+        ("어디예요", "ədijejo"),
+        ("얼마예요", "əlmajejo"),
+        ("도와주세요", "towadʑusejo"),
+        ("이름", "iɾɯm"),
+        ("시간", "ʃigan"),
+        ("학교", "hakkjo"),
+        ("선생님", "sənsɛŋnim"),
+        ("밥먹었어요", "pamməgəsəjo"),
+        ("행복하세요", "hɛŋbokʰasejo"),
+        ("축하합니다", "tʃʰukʰahamnida"),
+        ("천만에요", "tʃʰənmanejo"),
+        ("알겠습니다", "algessɯmnida"),
+    ]
+
+    def test_phrase_goldens(self):
+        bad = {}
+        for phrase, want in self.GOLDENS:
+            got = korean.korean_to_ipa(phrase)
+            if got != want:
+                bad[phrase] = (got, want)
+        assert not bad, f"korean goldens mismatched: {bad}"
+
+    def test_sandhi_units(self):
+        # each core rule in isolation at the jamo engine level
+        assert korean._hangul_to_ipa_builtin("합니다") == "hamnida"
+        assert korean._hangul_to_ipa_builtin("국물") == "kuŋmul"
+        assert korean._hangul_to_ipa_builtin("신라") == "ɕilla"
+        assert korean._hangul_to_ipa_builtin("좋다") == "tɕotʰa"
+        assert korean._hangul_to_ipa_builtin("한국어") == "hangugʌ"
