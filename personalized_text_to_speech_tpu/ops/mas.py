@@ -86,33 +86,155 @@ def maximum_path_numpy(
 
 # --------------------------------------------------------------------------
 # JAX scan kernel
+#
+# The forward DP is a max-plus *linear* recurrence: with
+# ``prev[-1] = -inf``,
+#
+#   row_y[x] = neg_y[x] + max(stay_y[x] + prev[x], prev[x-1]),
+#   stay_y[x] = 0 if x < y else -inf,
+#
+# i.e. ``row_y = A_y ⊗ prev`` for the banded max-plus matrix
+# ``A_y[x, x] = neg_y[x] + stay_y[x]``, ``A_y[x, x-1] = neg_y[x]``.  The
+# plain kernel scans the T_y rows one at a time; the *chunked* kernel
+# exploits associativity of ⊗ to cut the sequential depth ~k×:
+#
+#   1. compose each group of k consecutive operators into one banded
+#      operator ``C_c = A_{ck+k} ⊗ … ⊗ A_{ck+1}`` (bandwidth k+1) — depth k,
+#      all chunks in parallel;
+#   2. scan the n_chunks chunk-boundary rows ``carry ← C_c ⊗ carry`` —
+#      depth n_chunks;
+#   3. re-expand the interior rows of every chunk from its boundary row with
+#      the original per-row step — depth k, all chunks in parallel.
+#
+# Depth drops from T_y to 2k + T_y/k (~7× at T_y=512, k=16) in exchange for
+# a (k+1)-wide band per composition step, a good trade on CPU where
+# per-step dispatch dominates the tiny [B, T_x] row ops.  Backtrack is
+# unchanged (its per-step work is O(B)).
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=())
-def _maximum_path_scan(
-    neg_cent: jnp.ndarray,
+def _first_row(neg_cent: jnp.ndarray) -> jnp.ndarray:
+    t_x = neg_cent.shape[-1]
+    x_idx = jnp.arange(t_x)
+    return neg_cent[:, 0, :] + jnp.where(x_idx[None, :] == 0, 0.0, _NEG)
+
+
+def _fwd_step(prev_row, inputs):
+    """One DP row: ``row = neg + max(stay·[x<y], prev shifted right)``."""
+    y, neg_row = inputs
+    x_idx = jnp.arange(prev_row.shape[-1])
+    stay = jnp.where(x_idx[None, :] < y, prev_row, _NEG)
+    advance = jnp.pad(
+        prev_row[:, :-1], ((0, 0), (1, 0)), constant_values=_NEG
+    )
+    row = neg_row + jnp.maximum(stay, advance)
+    return row, row
+
+
+def _forward_values(neg_cent: jnp.ndarray) -> jnp.ndarray:
+    """Plain row-by-row forward DP → value rows [t_y, B, t_x]."""
+    t_y = neg_cent.shape[1]
+    first_row = _first_row(neg_cent)
+    ys = (jnp.arange(1, t_y), jnp.swapaxes(neg_cent[:, 1:, :], 0, 1))
+    _, rest = jax.lax.scan(_fwd_step, first_row, ys)
+    return jnp.concatenate([first_row[None], rest], axis=0)
+
+
+def _forward_values_chunked(neg_cent: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Chunked (max,+) forward DP → value rows [t_y, B, t_x].
+
+    Same recurrence as :func:`_forward_values` with sequential depth
+    ``2·chunk + ceil((t_y-1)/chunk)`` instead of ``t_y`` (see module scan
+    section comment).  Bit-identical argmax structure up to float summation
+    order: a composed band accumulates its k ``neg`` terms newest-first,
+    the plain scan oldest-first.
+    """
+    b, t_y, t_x = neg_cent.shape
+    first_row = _first_row(neg_cent)
+    n_rows = t_y - 1
+    if n_rows <= 0:
+        return first_row[None]
+    n_chunks = -(-n_rows // chunk)
+    pad = n_chunks * chunk - n_rows
+    # pad with extra rows; their values are garbage but sit past t_y-1 and
+    # are sliced off before return
+    ys = jnp.concatenate(
+        [jnp.arange(1, t_y), jnp.full((pad,), t_y, jnp.int32)]
+    ).reshape(n_chunks, chunk)
+    negs = jnp.concatenate(
+        [
+            jnp.swapaxes(neg_cent[:, 1:, :], 0, 1),
+            jnp.zeros((pad, b, t_x), neg_cent.dtype),
+        ]
+    ).reshape(n_chunks, chunk, b, t_x)
+
+    x_idx = jnp.arange(t_x)
+
+    # ---- pass 1: compose each chunk's k operators into one band ----------
+    # C[c, b, j, x] = best score entering chunk c at text x-j and leaving at
+    # x; identity to start (j=0 diagonal of zeros).
+    def compose_step(c_band, inputs):
+        y, neg_row = inputs  # [n_chunks], [n_chunks, b, t_x]
+        stay_gate = jnp.where(
+            x_idx[None, :] < y[:, None], 0.0, _NEG
+        )  # [n_chunks, t_x]
+        stay = (neg_row + stay_gate[:, None, :])[:, :, None, :] + c_band
+        c_shift = jnp.pad(
+            c_band[:, :, :-1, :-1],
+            ((0, 0), (0, 0), (1, 0), (1, 0)),
+            constant_values=_NEG,
+        )  # C[j-1, x-1]
+        adv = neg_row[:, :, None, :] + c_shift
+        return jnp.maximum(stay, adv), None
+
+    ident = jnp.full((n_chunks, b, chunk + 1, t_x), _NEG, jnp.float32)
+    ident = ident.at[:, :, 0, :].set(0.0)
+    c_band, _ = jax.lax.scan(
+        compose_step, ident, (jnp.swapaxes(ys, 0, 1), jnp.swapaxes(negs, 0, 1))
+    )
+
+    # ---- pass 2: scan chunk boundaries with the composed bands -----------
+    def boundary_step(prev_row, band):  # band: [b, chunk+1, t_x]
+        shifts = jnp.stack(
+            [
+                jnp.pad(
+                    prev_row[:, : t_x - j],
+                    ((0, 0), (min(j, t_x), 0)),
+                    constant_values=_NEG,
+                )
+                if j < t_x
+                else jnp.full_like(prev_row, _NEG)
+                for j in range(chunk + 1)
+            ],
+            axis=1,
+        )  # [b, chunk+1, t_x]; shifts[:, j, x] = prev[x-j]
+        row = jnp.max(band + shifts, axis=1)
+        return row, prev_row
+
+    _, chunk_starts = jax.lax.scan(boundary_step, first_row, c_band)
+    # chunk_starts[c] = value row just before chunk c
+
+    # ---- pass 3: re-expand interior rows, all chunks in parallel ---------
+    def expand_step(prev_rows, inputs):  # prev_rows: [n_chunks, b, t_x]
+        y, neg_row = inputs
+        row, _ = jax.vmap(_fwd_step)(prev_rows, (y, neg_row))
+        return row, row
+
+    _, interior = jax.lax.scan(
+        expand_step,
+        chunk_starts,
+        (jnp.swapaxes(ys, 0, 1), jnp.swapaxes(negs, 0, 1)),
+    )  # [chunk, n_chunks, b, t_x]
+    rows = jnp.swapaxes(interior, 0, 1).reshape(n_chunks * chunk, b, t_x)
+    return jnp.concatenate([first_row[None], rows[:n_rows]], axis=0)
+
+
+def _backtrack(
+    value: jnp.ndarray,
     text_lengths: jnp.ndarray,
     spec_lengths: jnp.ndarray,
 ) -> jnp.ndarray:
-    b, t_y, t_x = neg_cent.shape
-    neg_cent = neg_cent.astype(jnp.float32)
+    t_y, b, t_x = value.shape
     x_idx = jnp.arange(t_x)
-
-    # ---- forward: accumulate best-path scores row by row -----------------
-    def fwd_step(prev_row, inputs):
-        y, neg_row = inputs
-        stay = jnp.where(x_idx[None, :] < y, prev_row, _NEG)
-        advance = jnp.pad(
-            prev_row[:, :-1], ((0, 0), (1, 0)), constant_values=_NEG
-        )
-        row = neg_row + jnp.maximum(stay, advance)
-        return row, row
-
-    first_row = neg_cent[:, 0, :] + jnp.where(x_idx[None, :] == 0, 0.0, _NEG)
-    ys = (jnp.arange(1, t_y), jnp.swapaxes(neg_cent[:, 1:, :], 0, 1))
-    _, rest = jax.lax.scan(fwd_step, first_row, ys)
-    # value[y] rows for y = 0..t_y-1, shape [t_y, B, t_x]
-    value = jnp.concatenate([first_row[None], rest], axis=0)
 
     # ---- backtrack: follow argmax predecessors back down -----------------
     # value_below[y] = value[y-1] (row read when deciding a decrement at y)
@@ -145,6 +267,27 @@ def _maximum_path_scan(
     return path
 
 
+@jax.jit
+def _maximum_path_scan(
+    neg_cent: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    spec_lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    value = _forward_values(neg_cent.astype(jnp.float32))
+    return _backtrack(value, text_lengths, spec_lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _maximum_path_scan_chunked(
+    neg_cent: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    spec_lengths: jnp.ndarray,
+    chunk: int = 16,
+) -> jnp.ndarray:
+    value = _forward_values_chunked(neg_cent.astype(jnp.float32), chunk)
+    return _backtrack(value, text_lengths, spec_lengths)
+
+
 def maximum_path(
     neg_cent: jnp.ndarray,
     text_lengths: jnp.ndarray,
@@ -175,8 +318,35 @@ def maximum_path(
         )
 
         return maximum_path_pallas(neg_cent, text_lengths, spec_lengths)
-    path = _maximum_path_scan(neg_cent, text_lengths, spec_lengths)
+    if _use_chunked(neg_cent.shape[1], neg_cent.shape[2]):
+        path = _maximum_path_scan_chunked(
+            neg_cent, text_lengths, spec_lengths, chunk=_chunk_size()
+        )
+    else:
+        path = _maximum_path_scan(neg_cent, text_lengths, spec_lengths)
     return jax.lax.stop_gradient(path)
+
+
+def _use_chunked(t_y: int, t_x: int) -> bool:
+    """Chunked (max,+) forward on CPU in its measured win region: many
+    sequential rows but rows small enough that the plain scan is
+    dispatch-bound (4–15× there; the (k+1)-wide band loses once per-row
+    arithmetic dominates, crossover ~t_x 128 — see PERF.md).  Override with
+    PTTS_MAS_IMPL=scan|chunked."""
+    import os
+
+    impl = os.environ.get("PTTS_MAS_IMPL", "auto")
+    if impl == "chunked":
+        return True
+    if impl != "auto":
+        return False
+    return jax.default_backend() == "cpu" and t_y >= 128 and t_x <= 96
+
+
+def _chunk_size() -> int:
+    import os
+
+    return int(os.environ.get("PTTS_MAS_CHUNK", "8"))
 
 
 def _use_pallas() -> bool:

@@ -188,6 +188,43 @@ class TestMAS:
             )
             np.testing.assert_array_equal(got, want)
 
+    def test_chunked_matches_numpy_oracle(self):
+        from personalized_text_to_speech_tpu.ops.mas import (
+            _maximum_path_scan_chunked,
+        )
+
+        # geometries around / past the chunk boundary, incl. t_y not a
+        # multiple of the chunk and a degenerate 1-frame case
+        for seed, t_y, t_x, chunk in [
+            (0, 37, 11, 16),
+            (1, 129, 24, 16),
+            (2, 160, 40, 16),
+            (3, 64, 8, 8),
+            (4, 17, 5, 4),
+        ]:
+            neg, text_lens, spec_lens = self._random_case(
+                seed, t_y=t_y, t_x=t_x
+            )
+            want = maximum_path_numpy(neg, text_lens, spec_lens)
+            got = np.asarray(
+                _maximum_path_scan_chunked(
+                    jnp.asarray(neg), text_lens, spec_lens, chunk=chunk
+                )
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"seed={seed}")
+
+    def test_chunked_single_frame(self):
+        from personalized_text_to_speech_tpu.ops.mas import (
+            _maximum_path_scan_chunked,
+        )
+
+        neg = np.random.default_rng(0).normal(size=(2, 1, 1)).astype(np.float32)
+        lens = np.ones(2, np.int32)
+        got = np.asarray(
+            _maximum_path_scan_chunked(jnp.asarray(neg), lens, lens, chunk=8)
+        )
+        np.testing.assert_array_equal(got, np.ones_like(neg))
+
     def test_path_properties(self):
         neg, text_lens, spec_lens = self._random_case(7, b=4, t_y=50, t_x=20)
         path = np.asarray(maximum_path(jnp.asarray(neg), text_lens, spec_lens))
