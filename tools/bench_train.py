@@ -40,6 +40,74 @@ def _step_flops(step, g_state, d_state, b, key) -> float:
         return 0.0
 
 
+def build_step(batch, frames, tokens=128, dtype="bfloat16", seed=0):
+    """Construct the fused GAN train step on synthetic data.
+
+    Returns ``(step_once, state)`` where ``state`` is the
+    ``(g_state, d_state, batch, key)`` tuple and ``step_once(state)`` runs
+    one compiled update and returns the new state.  Shared by the MFU bench
+    below and the per-op roofline audit (``tools/profile_ops.py``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from personalized_text_to_speech_tpu.config import default_model_config
+    from personalized_text_to_speech_tpu.models.discriminator import (
+        MultiPeriodDiscriminator,
+    )
+    from personalized_text_to_speech_tpu.models.synthesizer import SynthesizerTrn
+    from personalized_text_to_speech_tpu.train.state import create_train_state
+    from personalized_text_to_speech_tpu.train.step import Batch, make_train_step
+
+    hps = default_model_config(n_speakers=999)
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    g_model = SynthesizerTrn.from_hparams(hps, dtype=jdtype)
+    d_model = MultiPeriodDiscriminator(dtype=jdtype)
+    hop = hps.data.hop_length
+
+    rng = jax.random.PRNGKey(seed)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        g_vars = g_model.init(
+            {"params": rng, "noise": rng, "slice": rng, "dropout": rng},
+            jnp.ones((1, 16), jnp.int32), jnp.array([16]),
+            jnp.zeros((1, 64, hps.data.filter_length // 2 + 1)),
+            jnp.array([64]), jnp.array([0]),
+        )
+        wav0 = jnp.zeros((1, hps.train.segment_size))
+        d_vars = d_model.init(jax.random.PRNGKey(seed), wav0, wav0)
+    dev = jax.devices()[0]
+    g_state = jax.device_put(
+        create_train_state(g_model.apply, g_vars["params"], hps, 100), dev
+    )
+    d_state = jax.device_put(
+        create_train_state(d_model.apply, d_vars["params"], hps, 100), dev
+    )
+    np_rng = np.random.default_rng(seed)
+    b = Batch(
+        text=jnp.asarray(
+            np_rng.integers(1, 60, size=(batch, tokens)), dtype=jnp.int32
+        ),
+        text_lengths=jnp.full((batch,), tokens, jnp.int32),
+        wav=jnp.asarray(
+            np_rng.normal(size=(batch, frames * hop)) * 0.1,
+            dtype=jnp.float32,
+        ),
+        wav_lengths=jnp.full((batch,), frames * hop, jnp.int32),
+        sid=jnp.asarray(np_rng.integers(0, 10, size=batch), dtype=jnp.int32),
+    )
+    step = jax.jit(
+        make_train_step(g_model, d_model, hps), donate_argnums=(0, 1)
+    )
+
+    def step_once(state):
+        g_state, d_state, b, key = state
+        g_state, d_state, metrics = step(g_state, d_state, b, key)
+        return (g_state, d_state, b, key), metrics
+
+    return step_once, (g_state, d_state, b, jax.random.PRNGKey(seed + 1))
+
+
 def main():
     import jax
     import jax.numpy as jnp
