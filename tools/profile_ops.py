@@ -180,12 +180,12 @@ def _trace_decode(batch, logdir):
     w_ceil, m_p, logs_p, x_mask, _ = enc_out
     dec = eng._decode_fn(t_bucket, f_bucket)
     out = dec(eng.params, w_ceil, m_p, logs_p, x_mask, sid,
-              np.float32(0.667), rng)
+              np.float32(0.667), rng, pcm16=True)
     jax.block_until_ready(out)
     with jax.profiler.trace(logdir):
         for _ in range(3):
             out = dec(eng.params, w_ceil, m_p, logs_p, x_mask, sid,
-                      np.float32(0.667), rng)
+                      np.float32(0.667), rng, pcm16=True)
         jax.block_until_ready(out)
     return 3
 
