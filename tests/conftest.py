@@ -13,6 +13,14 @@ import os
 # backends so the selection takes effect.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA:CPU hard-kills the process when a collective rendezvous exceeds 40 s;
+# on a loaded 1-core host the 8 virtual devices' threads can straggle past
+# that, so give the suite slack (must precede CPU backend init).
+if "terminate_timeout" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    ).strip()
 
 import jax  # noqa: E402
 
