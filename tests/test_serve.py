@@ -30,7 +30,7 @@ def server():
 
     args = argparse.Namespace(
         host="127.0.0.1", port=0, max_body_mb=1, share=False,
-        max_batch=8, batch_window_ms=50.0,
+        max_batch=8, batch_window_ms=50.0, max_queue=64,
     )
 
     import tools.serve as serve_mod
@@ -65,8 +65,11 @@ def server():
     t.start()
     import time
 
-    for _ in range(100):
-        if "server" in holder:
+    # engine construction inside the thread can take minutes when the host
+    # core is contended (e.g. a trainer running alongside the suite) — wait
+    # long, but bail as soon as the thread itself dies
+    for _ in range(3000):
+        if "server" in holder or not t.is_alive():
             break
         time.sleep(0.1)
     assert "server" in holder, "server did not start"
