@@ -27,7 +27,32 @@ import time
 import numpy as np
 
 
+def _relay_alive() -> bool:
+    """On axon loopback attaches, every device op futex-waits forever if the
+    tunnel relay process has died — fail fast with a diagnosable JSON line
+    instead of hanging the caller (see CLAUDE.md operational findings)."""
+    if os.environ.get("PALLAS_AXON_POOL_IPS") != "127.0.0.1":
+        return True  # not a loopback-relay attach
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["ps", "-eo", "cmd"], capture_output=True, text=True, timeout=10
+        ).stdout
+        return ".tpu_init.py" in out
+    except Exception:
+        return True  # can't tell — proceed normally
+
+
 def main():
+    if not _relay_alive():
+        print(json.dumps({
+            "metric": "synthesis throughput (x realtime, per chip)",
+            "value": None, "unit": "x_realtime", "vs_baseline": None,
+            "error": "axon loopback relay (.tpu_init.py) is not running - "
+                     "TPU unreachable from this VM; restart the attach",
+        }))
+        sys.exit(1)
     os.environ.setdefault("JAX_PLATFORMS", "")
     import jax
 
