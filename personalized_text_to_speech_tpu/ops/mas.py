@@ -328,19 +328,16 @@ def maximum_path(
 
 
 def _use_chunked(t_y: int, t_x: int) -> bool:
-    """Chunked (max,+) forward on CPU in its measured win region: many
-    sequential rows but rows small enough that the plain scan is
-    dispatch-bound (4–15× there; the (k+1)-wide band loses once per-row
-    arithmetic dominates, crossover ~t_x 128 — see PERF.md).  Override with
-    PTTS_MAS_IMPL=scan|chunked."""
+    """Opt-in only (PTTS_MAS_IMPL=chunked).  Measured verdict (PERF.md):
+    on an idle CPU the plain scan's per-row dispatch is cheap and the
+    chunked kernel's (k+1)-wide band loses at every tested geometry
+    (0.2–0.7×); only on a heavily oversubscribed host — where many tiny
+    dispatches starve worse than fewer bigger ones — did chunking win
+    (4–15×).  Keeping the plain scan as the default optimizes the
+    configuration that matters."""
     import os
 
-    impl = os.environ.get("PTTS_MAS_IMPL", "auto")
-    if impl == "chunked":
-        return True
-    if impl != "auto":
-        return False
-    return jax.default_backend() == "cpu" and t_y >= 128 and t_x <= 96
+    return os.environ.get("PTTS_MAS_IMPL", "auto") == "chunked"
 
 
 def _chunk_size() -> int:
