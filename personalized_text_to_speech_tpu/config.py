@@ -174,3 +174,56 @@ def default_model_config(n_speakers: int = 999, symbols=None) -> HParams:
         "speakers": {},
     }
     return load_hparams_from_dict(cfg)
+
+
+def tiny_model_config(n_speakers: int = 4, symbols=None) -> HParams:
+    """Toy geometry (hidden 8, ×64 upsampling, 8 kHz) for CPU-host smoke
+    runs, behavioral benches, and the unit-test engines — same shape of
+    config as :func:`default_model_config`, ~1000× fewer FLOPs."""
+    from personalized_text_to_speech_tpu.text.symbols import SYMBOLS
+
+    cfg = {
+        "train": {"segment_size": 2048, "learning_rate": 2e-4,
+                  "betas": [0.8, 0.99], "eps": 1e-9, "batch_size": 2,
+                  "seed": 1, "epochs": 1, "lr_decay": 1.0,
+                  "log_interval": 1, "eval_interval": 10,
+                  "c_mel": 45, "c_kl": 1.0},
+        "data": {
+            "sampling_rate": 8000,
+            "filter_length": 256,
+            "hop_length": 64,
+            "win_length": 256,
+            "n_mel_channels": 20,
+            "mel_fmin": 0.0,
+            "mel_fmax": None,
+            "add_blank": True,
+            "n_speakers": n_speakers,
+            "text_cleaners": ["cjke_cleaners2"],
+            "cleaned_text": True,
+            "max_wav_value": 32768.0,
+            "training_files": "",
+            "validation_files": "",
+        },
+        "model": {
+            "inter_channels": 8,
+            "hidden_channels": 8,
+            "filter_channels": 16,
+            "n_heads": 2,
+            "n_layers": 1,
+            "kernel_size": 3,
+            "p_dropout": 0.1,
+            "resblock": "2",
+            "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]],
+            "upsample_rates": [8, 8],
+            "upsample_initial_channel": 16,
+            "upsample_kernel_sizes": [16, 16],
+            "use_spectral_norm": False,
+            "gin_channels": 6,
+        },
+        "symbols": list(symbols) if symbols is not None else list(SYMBOLS),
+        "speakers": {"alice": 0, "bob": 1},
+        "tpu": {"text_buckets": [16, 32, 64],
+                "frame_buckets": [32, 64, 128]},
+    }
+    return load_hparams_from_dict(cfg)

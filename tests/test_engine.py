@@ -17,51 +17,11 @@ from personalized_text_to_speech_tpu.infer.engine import TTSEngine, _next_bucket
 
 
 def tiny_engine_hps():
-    return load_hparams_from_dict(
-        {
-            "train": {"segment_size": 2048, "learning_rate": 2e-4,
-                      "betas": [0.8, 0.99], "eps": 1e-9, "batch_size": 2,
-                      "seed": 1, "epochs": 1, "lr_decay": 1.0,
-                      "log_interval": 1, "eval_interval": 10,
-                      "c_mel": 45, "c_kl": 1.0},
-            "data": {
-                "sampling_rate": 8000,
-                "filter_length": 256,
-                "hop_length": 64,
-                "win_length": 256,
-                "n_mel_channels": 20,
-                "mel_fmin": 0.0,
-                "mel_fmax": None,
-                "add_blank": True,
-                "n_speakers": 4,
-                "text_cleaners": ["cjke_cleaners2"],
-                "cleaned_text": True,
-                "max_wav_value": 32768.0,
-                "training_files": "",
-                "validation_files": "",
-            },
-            "model": {
-                "inter_channels": 8,
-                "hidden_channels": 8,
-                "filter_channels": 16,
-                "n_heads": 2,
-                "n_layers": 1,
-                "kernel_size": 3,
-                "p_dropout": 0.1,
-                "resblock": "2",
-                "resblock_kernel_sizes": [3],
-                "resblock_dilation_sizes": [[1, 3]],
-                "upsample_rates": [8, 8],
-                "upsample_initial_channel": 16,
-                "upsample_kernel_sizes": [16, 16],
-                "use_spectral_norm": False,
-                "gin_channels": 6,
-            },
-            "symbols": None,  # replaced below
-            "speakers": {"alice": 0, "bob": 1},
-            "tpu": {"text_buckets": [16, 32, 64], "frame_buckets": [32, 64, 128]},
-        }
-    )
+    # shared toy geometry — single source of truth in the library so CPU
+    # benches (tools/bench_serve.py --tiny) and tests stay in sync
+    from personalized_text_to_speech_tpu.config import tiny_model_config
+
+    return tiny_model_config(n_speakers=4)
 
 
 @pytest.fixture(scope="module")

@@ -52,6 +52,10 @@ def main():
                     help="client sleep after a shed before retrying")
     ap.add_argument("--window_ms", type=float, default=5.0)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--tiny", action="store_true",
+                    help="toy-geometry engine (config.tiny_model_config) — "
+                         "for CPU-host behavioral runs (overload/shedding "
+                         "dynamics); absolute throughput is meaningless")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "")
@@ -67,7 +71,12 @@ def main():
     runtime.enable_compilation_cache()
     runtime.warmup_transfers()
 
-    hps = default_model_config(n_speakers=999)
+    if args.tiny:
+        from personalized_text_to_speech_tpu.config import tiny_model_config
+
+        hps = tiny_model_config()
+    else:
+        hps = default_model_config(n_speakers=999)
     eng = TTSEngine(hps, dtype=args.dtype)
     batcher = MicroBatcher(
         eng, max_batch=args.max_batch, window_ms=args.window_ms,
@@ -138,6 +147,7 @@ def main():
         "max_batch_seen": batcher.stats["max_batch_seen"],
         "window_ms": args.window_ms,
         "dtype": args.dtype,
+        "engine": "tiny-behavioral" if args.tiny else "full",
     }
     print(json.dumps(result))
 
