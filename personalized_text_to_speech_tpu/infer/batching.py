@@ -132,7 +132,8 @@ class MicroBatcher:
 
     def stats_snapshot(self) -> Dict[str, Any]:
         """Stats plus the instantaneous admission-queue depth."""
-        snap = dict(self.stats)
+        with self._stats_lock:
+            snap = dict(self.stats)
         snap["queue_depth"] = self._q.qsize()
         snap["max_queue"] = self._q.maxsize
         return snap
@@ -195,10 +196,11 @@ class MicroBatcher:
                 finally:
                     for r in reqs:
                         r.done.set()
-                self.stats["requests"] += len(reqs)
-                self.stats["dispatches"] += 1
-                self.stats["max_batch_seen"] = max(
-                    self.stats["max_batch_seen"], len(reqs)
-                )
+                with self._stats_lock:
+                    self.stats["requests"] += len(reqs)
+                    self.stats["dispatches"] += 1
+                    self.stats["max_batch_seen"] = max(
+                        self.stats["max_batch_seen"], len(reqs)
+                    )
             if stop_after:
                 return

@@ -282,7 +282,7 @@ def _maximum_path_scan_chunked(
     neg_cent: jnp.ndarray,
     text_lengths: jnp.ndarray,
     spec_lengths: jnp.ndarray,
-    chunk: int = 16,
+    chunk: int = 8,
 ) -> jnp.ndarray:
     value = _forward_values_chunked(neg_cent.astype(jnp.float32), chunk)
     return _backtrack(value, text_lengths, spec_lengths)
@@ -318,7 +318,7 @@ def maximum_path(
         )
 
         return maximum_path_pallas(neg_cent, text_lengths, spec_lengths)
-    if _use_chunked(neg_cent.shape[1], neg_cent.shape[2]):
+    if _use_chunked():
         path = _maximum_path_scan_chunked(
             neg_cent, text_lengths, spec_lengths, chunk=_chunk_size()
         )
@@ -327,7 +327,7 @@ def maximum_path(
     return jax.lax.stop_gradient(path)
 
 
-def _use_chunked(t_y: int, t_x: int) -> bool:
+def _use_chunked() -> bool:
     """Opt-in only (PTTS_MAS_IMPL=chunked).  Measured verdict (PERF.md):
     on an idle CPU the plain scan's per-row dispatch is cheap and the
     chunked kernel's (k+1)-wide band loses at every tested geometry

@@ -94,6 +94,8 @@ def main():
     lock = threading.Lock()
     stop = time.monotonic() + args.duration
 
+    n_sid = min(8, int(hps.data.n_speakers))
+
     def client(i):
         warm_done.wait()
         j = i
@@ -102,7 +104,9 @@ def main():
             j += 1
             t0 = time.perf_counter()
             try:
-                sr, wav = batcher.tts(text, speaker=i % 8, language="English")
+                sr, wav = batcher.tts(
+                    text, speaker=i % n_sid, language="English"
+                )
             except OverloadedError:
                 with lock:
                     sheds[0] += 1

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WORD_RE = re.compile(r"[a-z']+")
 # markdown/rst/code punctuation stripped before word extraction
-CODE_RE = re.compile(r"`[^`]*`|```.*?```|\bhttps?://\S+", re.S)
+CODE_RE = re.compile(r"```.*?```|`[^`]*`|\bhttps?://\S+", re.S)
 
 
 def default_corpus_text() -> str:
