@@ -356,14 +356,21 @@ class SynthesizerTrn(nn.Module):
         sid: Optional[jnp.ndarray] = None,
         deterministic: bool = False,
         slice_ids: Optional[jnp.ndarray] = None,
+        posterior_noise: Optional[jnp.ndarray] = None,
+        dp_noise: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
+        """Training forward.  ``posterior_noise`` ([B, Ts, C]) and ``dp_noise``
+        ([B, Tt, 2]) override the ``'noise'`` RNG stream — used by the
+        cross-framework training-graph parity suite, which must feed both
+        frameworks bit-identical samples (reference models.py:240, 67)."""
         h_text, m_p, logs_p, x_mask = self.enc_p(
             x, x_lengths, deterministic=deterministic
         )
         g = self._speaker(sid)
 
         z, m_q, logs_q, y_mask = self.enc_q(
-            y, y_lengths, g=g, deterministic=deterministic
+            y, y_lengths, g=g, noise=posterior_noise,
+            deterministic=deterministic,
         )
         z_p = self.flow(z, y_mask, g=g)
 
@@ -392,7 +399,8 @@ class SynthesizerTrn(nn.Module):
         w = jnp.sum(attn, axis=1, keepdims=False)[..., None]  # [B, Tt, 1]
         if self.use_sdp:
             l_length = self.dp(
-                h_text, x_mask, w=w, g=g, deterministic=deterministic
+                h_text, x_mask, w=w, g=g, noise=dp_noise,
+                deterministic=deterministic,
             )
             l_length = l_length / jnp.sum(x_mask)
         else:
