@@ -830,6 +830,138 @@ _LEXICON = {
     "validate": "ˈvæləˌdeɪt", "validation": "ˌvæləˈdeɪʃən",
     "deprecated": "ˈdɛprəˌkeɪtəd", "legacy": "ˈlɛgəsi",
     "tutorial": "tuˈtɔriəl", "wiki": "ˈwɪki", "forum": "ˈfɔrəm",
+    # fifth tranche: measured top OOV fallbacks from the round-4 sweep
+    # (tools/eval_g2p.py --top over ~190k tokens of real prose) — common
+    # function words the LTS rules mispronounce, high-frequency technical
+    # vocabulary, and standard software proper nouns
+    "them": "ðɛm", "since": "sɪns", "whether": "ˈwɛðər",
+    "given": "ˈgɪvən", "within": "wɪˈðɪn", "across": "əˈkrɔs",
+    "every": "ˈɛvri", "itself": "ɪtˈsɛlf", "except": "ɪkˈsɛpt",
+    "otherwise": "ˈəðərˌwaɪz", "due": "du", "thus": "ðəs",
+    "cannot": "ˈkænɑt", "rather": "ˈræðər", "unless": "ənˈlɛs",
+    "inside": "ˌɪnˈsaɪd", "until": "ənˈtɪl", "probably": "ˈprɑbəbli",
+    "actually": "ˈækʧuəli", "typically": "ˈtɪpɪkli",
+    "manually": "ˈmænjuəli", "fully": "ˈfʊli", "simply": "ˈsɪmpli",
+    "directly": "dəˈrɛktli", "explicitly": "ɪkˈsplɪsɪtli",
+    "automatically": "ˌɔtəˈmætɪkli", "alternatively": "ɔlˈtərnətɪvli",
+    "corresponding": "ˌkɔrəˈspɑndɪŋ", "known": "noʊn", "done": "dən",
+    "youre": "jʊr", "youll": "jul", "wont": "woʊnt", "isnt": "ˈɪzənt",
+    "doesnt": "ˈdəzənt",
+    "access": "ˈæksɛs", "enable": "ɪˈneɪbəl", "content": "ˈkɑntɛnt",
+    "coverage": "ˈkəvərɪʤ", "storage": "ˈstɔrɪʤ",
+    "terminal": "ˈtərmənəl", "community": "kəˈmjunɪti",
+    "behavior": "bɪˈheɪvjər", "behaviour": "bɪˈheɪvjər",
+    "summary": "ˈsəməri", "internal": "ɪnˈtərnəl",
+    "external": "ɪkˈstərnəl", "prompt": "prɑmpt", "self": "sɛlf",
+    "copy": "ˈkɑpi", "mode": "moʊd", "root": "rut", "flag": "flæg",
+    "step": "stɛp", "scope": "skoʊp", "port": "pɔrt", "link": "lɪŋk",
+    "setup": "ˈsɛtˌəp", "subset": "ˈsəbˌsɛt", "multi": "ˈməlti",
+    "extra": "ˈɛkstrə", "generic": "ʤəˈnɛrɪk", "static": "ˈstætɪk",
+    "stable": "ˈsteɪbəl", "valid": "ˈvælɪd", "invalid": "ɪnˈvælɪd",
+    "basic": "ˈbeɪsɪk", "complex": "kəmˈplɛks", "strict": "strɪkt",
+    "split": "splɪt", "progress": "ˈprɑgrɛs", "upgrade": "ˈəpˌgreɪd",
+    "configure": "kənˈfɪgjər", "tag": "tæg", "org": "ɔrg",
+    "equivalent": "ɪˈkwɪvələnt", "keyword": "ˈkiˌwərd",
+    "disable": "dɪsˈeɪbəl", "context": "ˈkɑntɛkst",
+    "generation": "ˌʤɛnəˈreɪʃən", "evaluation": "ɪˌvæljuˈeɪʃən",
+    "compute": "kəmˈpjut", "incompatible": "ˌɪnkəmˈpætəbəl",
+    "compatible": "kəmˈpætəbəl", "compatibility": "kəmˌpætəˈbɪlɪti",
+    "info": "ˈɪnfoʊ", "expression": "ɪkˈsprɛʃən", "dev": "dɛv",
+    "spec": "spɛk", "overview": "ˈoʊvərˌvju", "accept": "ækˈsɛpt",
+    "minor": "ˈmaɪnər", "connection": "kəˈnɛkʃən", "host": "hoʊst",
+    "collection": "kəˈlɛkʃən", "component": "kəmˈpoʊnənt",
+    "experimental": "ɪkˌspɛrəˈmɛntəl", "max": "mæks", "font": "fɑnt",
+    "iterable": "ˈɪtərəbəl", "pipeline": "ˈpaɪpˌlaɪn", "repo": "ˈrɛpoʊ",
+    "precision": "prɪˈsɪʒən", "advanced": "ədˈvænst",
+    "conduct": "ˈkɑndəkt", "proxy": "ˈprɑksi", "digest": "ˈdaɪʤɛst",
+    "accelerate": "ækˈsɛləˌreɪt", "logic": "ˈlɑʤɪk",
+    "alternative": "ɔlˈtərnətɪv", "sys": "sɪs", "location": "loʊˈkeɪʃən",
+    "monitor": "ˈmɑnətər", "count": "kaʊnt", "dot": "dɑt",
+    "interactive": "ˌɪntərˈæktɪv", "integration": "ˌɪntəˈgreɪʃən",
+    "representation": "ˌrɛprɪˌzɛnˈteɪʃən", "escape": "ɪˈskeɪp",
+    "chat": "ʧæt", "asynchronous": "eɪˈsɪŋkrənəs", "scalar": "ˈskeɪlər",
+    "skip": "skɪp", "computation": "ˌkɑmpjuˈteɪʃən", "arg": "ɑrg",
+    "alias": "ˈeɪliəs", "init": "ɪˈnɪt", "reset": "riˈsɛt",
+    "agent": "ˈeɪʤənt", "websocket": "ˈwɛbˌsɑkɪt",
+    "compliance": "kəmˈplaɪəns", "recommend": "ˌrɛkəˈmɛnd",
+    "ignore": "ɪgˈnɔr", "native": "ˈneɪtɪv", "post": "poʊst",
+    "auto": "ˈɔtoʊ", "global": "ˈgloʊbəl", "regression": "rɪˈgrɛʃən",
+    "bump": "bəmp", "unused": "ənˈjuzd", "media": "ˈmidiə",
+    "video": "ˈvɪdioʊ", "hub": "həb", "sparse": "spɑrs", "app": "æp",
+    "raw": "rɔ", "virtual": "ˈvərʧuəl", "official": "əˈfɪʃəl",
+    "low": "loʊ", "minimal": "ˈmɪnəməl", "maintenance": "ˈmeɪntənəns",
+    "account": "əˈkaʊnt", "cursor": "ˈkərsər", "signature": "ˈsɪgnəʧər",
+    "byte": "baɪt",
+    "pypi": "ˈpaɪˌpiˌaɪ", "jupyter": "ˈʤupɪtər", "numpy": "ˈnəmˌpaɪ",
+    "pytorch": "ˈpaɪˌtɔrʧ", "scipy": "ˈsaɪˌpaɪ", "cython": "ˈsaɪθɑn",
+    "ipython": "ˌaɪˈpaɪθɑn", "pandas": "ˈpændəs",
+    "macos": "ˌmækˌoʊˈɛs", "docker": "ˈdɑkər", "gpu": "ˌʤiˌpiˈju",
+    "cpu": "ˌsiˌpiˈju", "tpu": "ˌtiˌpiˈju", "os": "ˌoʊˈɛs",
+    "io": "ˌaɪˈoʊ", "id": "ˌaɪˈdi", "uri": "ˌjuˌɑrˈaɪ",
+    "utf": "ˌjuˌtiˈɛf", "ascii": "ˈæski", "oauth": "ˈoʊˌɔθ",
+    "sphinx": "sfɪŋks", "matplotlib": "ˌmætˈplɑtlɪb",
+    "tensorflow": "ˈtɛnsərˌfloʊ", "tensorboard": "ˈtɛnsərˌbɔrd",
+    "keras": "ˈkɛrəs", "cuda": "ˈkudə", "nvidia": "ɛnˈvɪdiə",
+    "intel": "ˈɪntɛl", "torch": "tɔrʧ", "pytest": "ˈpaɪˌtɛst",
+    "mypy": "ˈmaɪˌpaɪ", "haiku": "ˈhaɪku", "flax": "flæks",
+    "jax": "ʤæks", "conda": "ˈkɑndə", "anaconda": "ˌænəˈkɑndə",
+    "apache": "əˈpæʧi", "markdown": "ˈmɑrkˌdaʊn", "latex": "ˈleɪˌtɛk",
+    "bash": "bæʃ", "env": "ˈɛnv", "venv": "ˈviˌɛnv", "ci": "ˌsiˈaɪ",
+    "register": "ˈrɛʤɪstər", "profile": "ˈproʊˌfaɪl",
+    "duplicate": "ˈduplɪkət", "random": "ˈrændəm", "attempt": "əˈtɛmpt",
+    "constraint": "kənˈstreɪnt", "introduction": "ˌɪntrəˈdəkʃən",
+    "cite": "saɪt", "grid": "grɪd", "expand": "ɪkˈspænd",
+    "management": "ˈmænɪʤmənt", "remote": "rɪˈmoʊt",
+    "override": "ˌoʊvərˈraɪd", "variant": "ˈvɛriənt",
+    "donate": "ˈdoʊˌneɪt", "readable": "ˈridəbəl", "short": "ʃɔrt",
+    "axis": "ˈæksɪs", "completion": "kəmˈpliʃən", "active": "ˈæktɪv",
+    "await": "əˈweɪt", "lower": "ˈloʊər", "refresh": "rɪˈfrɛʃ",
+    "arrow": "ˈæroʊ", "interpreter": "ɪnˈtərprətər", "patch": "pæʧ",
+    "union": "ˈjunjən", "tokenizer": "ˈtoʊkəˌnaɪzər",
+    "individual": "ˌɪndəˈvɪʤuəl", "execution": "ˌɛksəˈkjuʃən",
+    "pickle": "ˈpɪkəl", "quickstart": "ˈkwɪkˌstɑrt", "spam": "spæm",
+    "stub": "stəb", "permission": "pərˈmɪʃən",
+    "transformation": "ˌtrænsfərˈmeɪʃən", "enterprise": "ˈɛntərˌpraɪz",
+    "subscription": "səbˈskrɪpʃən", "utility": "juˈtɪlɪti",
+    "entry": "ˈɛntri", "flexible": "ˈflɛksəbəl",
+    "checkpoint": "ˈʧɛkˌpɔɪnt", "author": "ˈɔθər", "round": "raʊnd",
+    "comment": "ˈkɑˌmɛnt", "ambiguous": "æmˈbɪgjuəs",
+    "limitation": "ˌlɪməˈteɪʃən", "visual": "ˈvɪʒuəl",
+    "notebook": "ˈnoʊtˌbʊk", "lookup": "ˈlʊkˌəp",
+    "alignment": "əˈlaɪnmənt", "dynamic": "daɪˈnæmɪk",
+    "activate": "ˈæktəˌveɪt", "bin": "bɪn",
+    "compilation": "ˌkɑmpəˈleɪʃən", "sequence": "ˈsikwəns",
+    "hook": "hʊk", "sub": "səb", "modify": "ˈmɑdəˌfaɪ",
+    "maximum": "ˈmæksəməm", "minimum": "ˈmɪnəməm", "safe": "seɪf",
+    "entity": "ˈɛntɪti", "improvement": "ɪmˈpruvmənt",
+    "manual": "ˈmænjuəl", "embed": "ɪmˈbɛd", "clone": "kloʊn",
+    "initial": "ɪˈnɪʃəl", "builtin": "ˈbɪltˌɪn",
+    "interval": "ˈɪntərvəl", "discussion": "dɪˈskəʃən",
+    "literal": "ˈlɪtərəl", "unsupported": "ˌənsəˈpɔrtɪd", "leaf": "lif",
+    "substitution": "ˌsəbstəˈtuʃən",
+    "optimization": "ˌɑptəməˈzeɪʃən",
+    "miscellaneous": "ˌmɪsəˈleɪniəs", "grammar": "ˈgræmər",
+    "refer": "rəˈfər", "mix": "mɪks", "downstream": "ˈdaʊnˈstrim",
+    "explicit": "ɪkˈsplɪsɪt", "arbitrary": "ˈɑrbəˌtrɛri",
+    "conversion": "kənˈvərʒən", "replacement": "rɪˈpleɪsmənt",
+    "demo": "ˈdɛmoʊ", "clear": "klɪr", "isolated": "ˈaɪsəˌleɪtɪd",
+    "render": "ˈrɛndər", "span": "spæn", "lock": "lɑk",
+    "indicate": "ˈɪndəˌkeɪt", "detection": "dɪˈtɛkʃən",
+    "exception": "ɪkˈsɛpʃən", "expansion": "ɪkˈspænʃən", "nest": "nɛst",
+    "dictionary": "ˈdɪkʃəˌnɛri", "distribution": "ˌdɪstrəˈbjuʃən",
+    "distributed": "dɪˈstrɪbjətɪd",
+    "functionality": "ˌfəŋkʃəˈnælɪti", "convert": "kənˈvərt",
+    "quantization": "ˌkwɑntəˈzeɪʃən", "quantized": "ˈkwɑnˌtaɪzd",
+    "specification": "ˌspɛsəfəˈkeɪʃən", "badge": "bæʤ",
+    "dataset": "ˈdeɪtəˌsɛt", "annotation": "ˌænəˈteɪʃən",
+    "ensure": "ɪnˈʃʊr", "serialization": "ˌsɪriələˈzeɪʃən",
+    "bind": "baɪnd", "exist": "ɪgˈzɪst", "instruction": "ɪnˈstrəkʃən",
+    "changelog": "ˈʧeɪnʤˌlɔg", "application": "ˌæpləˈkeɪʃən",
+    "automatic": "ˌɔtəˈmætɪk", "vertex": "ˈvərˌtɛks",
+    "extension": "ɪkˈstɛnʃən", "contributor": "kənˈtrɪbjətər",
+    "unit": "ˈjunɪt", "partial": "ˈpɑrʃəl",
+    "decorator": "ˈdɛkəˌreɪtər", "pure": "pjʊr", "pre": "pri",
+    "introduce": "ˌɪntrəˈdus",
     # spelled letter names (lone letters in prose read as letter names;
     # "a" and "i" stay words — their letter readings live in _LETTER_NAMES)
     "b": "bi",
@@ -859,13 +991,30 @@ _LEXICON = {
 }
 
 # Letter-to-sound rules, tried longest-match-first at each position.
-# (suffix rules are applied before the main scan)
+# (suffix rules are applied before the main scan; the "ed" suffix is
+# special-cased in _lts_word so it voicing-assimilates like _past_ipa)
 _LTS_SUFFIXES = [
     ("tion", "ʃən"), ("sion", "ʒən"), ("ture", "ʧər"), ("tious", "ʃəs"),
     ("cious", "ʃəs"), ("cial", "ʃəl"), ("tial", "ʃəl"), ("ing", "ɪŋ"),
     ("ness", "nəs"), ("ment", "mənt"), ("able", "əbəl"), ("ible", "əbəl"),
     ("ously", "əsli"), ("ous", "əs"), ("ful", "fəl"), ("less", "ləs"),
     ("ly", "li"), ("er", "ər"), ("est", "əst"), ("ed", "d"),
+    # round-4 additions (golden-driven, tools/eval_g2p.py --accuracy)
+    ("ation", "eɪʃən"), ("ity", "ɪti"), ("ical", "ɪkəl"), ("ic", "ɪk"),
+    ("ive", "ɪv"), ("ize", "aɪz"), ("ify", "ɪfaɪ"), ("age", "ɪʤ"),
+    ("ance", "əns"), ("ence", "əns"), ("ant", "ənt"), ("ent", "ənt"),
+    ("ary", "ɛri"), ("ism", "ˌɪzəm"), ("ist", "ɪst"), ("ate", "eɪt"),
+    ("al", "əl"),
+]
+# longest suffix wins (e.g. "ation" over "tion", "ously" over "ly")
+_LTS_SUFFIXES.sort(key=lambda kv: -len(kv[0]))
+
+# end-of-body clusters whose vowel reading the plain scan gets wrong
+# ("kind", "bold", "soft", "lost": checked after suffix stripping, so
+# "grinder"/"boldly"/"frosting" inherit the right stem vowel)
+_LTS_END_RULES = [
+    ("ind", "aɪnd"), ("ild", "aɪld"), ("old", "oʊld"),
+    ("oft", "ɔft"), ("ost", "ɔst"), ("oss", "ɔs"), ("off", "ɔf"),
 ]
 
 _LTS_RULES = [
@@ -873,7 +1022,8 @@ _LTS_RULES = [
     ("tch", "ʧ"), ("sch", "sk"), ("igh", "aɪ"), ("eigh", "eɪ"),
     ("ought", "ɔt"), ("aught", "ɔt"),
     ("ch", "ʧ"), ("sh", "ʃ"), ("th", "θ"), ("ph", "f"), ("wh", "w"),
-    ("ck", "k"), ("ng", "ŋ"), ("qu", "kw"), ("gh", "g"), ("kn", "n"),
+    ("ck", "k"), ("ng", "ŋ"), ("nk", "ŋk"), ("qu", "kw"), ("gh", "g"),
+    ("kn", "n"),
     ("wr", "r"), ("gn", "n"), ("mb", "m"), ("dge", "ʤ"), ("dg", "ʤ"),
     # vowel teams
     ("eau", "oʊ"), ("iou", "jə"),
@@ -894,32 +1044,85 @@ _LTS_RULES.sort(key=lambda kv: -len(kv[0]))
 _SOFT_C_VOWELS = set("eiy")
 
 
-def _lts_word(word: str) -> str:
+def _lts_word(word: str, depth: int = 0) -> str:
     """Rule-based grapheme→IPA for out-of-lexicon words."""
+    # regular plurals first: convert the stem, then voicing-assimilate the
+    # ending like _plural_ipa ("tags"→tægz, "bytes"→baɪts, "stories"→…iz)
+    if depth < 1:
+        if len(word) > 4 and word.endswith("ies"):
+            return _lts_word(word[:-3] + "y", depth + 1) + "z"
+        if (
+            len(word) > 3
+            and word.endswith("s")
+            and not word.endswith(("ss", "us", "is", "as", "os"))
+        ):
+            return _plural_ipa(_lts_word(word[:-1], depth + 1))
     out = []
     # strip one trailing silent e ("make" -> long vowel handled crudely)
     body = word
     suffix_ipa = ""
+    past_suffix = False
     for suf, ipa_suf in _LTS_SUFFIXES:
         if body.endswith(suf) and len(body) > len(suf) + 1:
-            body = body[: -len(suf)]
+            if suf == "ed" and body.endswith("eed"):
+                continue  # feed/exceed: the "ee" team, not a past tense
+            if suf == "ed":
+                # strip only the "d": a stem-final silent e ("quoted",
+                # "craned") then flows through the normal magic-e logic
+                body = body[:-1]
+                past_suffix = True
+                break
+            stem = body[: -len(suf)]
+            # a real derivational stem has a vowel and ≥3 letters —
+            # "glance"/"hoist"/"moist" end in rimes, not suffixes
+            if len(stem) < 3 or not any(c in "aeiouy" for c in stem):
+                continue
+            body = stem
             suffix_ipa = ipa_suf
             break
     silent_e = len(body) > 2 and body.endswith("e") and body[-2] not in "aeiou"
+    soften_final = False
     if silent_e:
         body = body[:-1]
         if body.endswith("dg"):
             silent_e = False  # "-dge" keeps its short vowel (fudge, bridge)
+        # the stripped e also marks soft final c/g ("since"→s, "charge"→ʤ)
+        # — but a doubled letter stays hard ("plugged", "tagged")
+        soften_final = body[-1] in "cg" and not (
+            len(body) >= 2 and body[-2] == body[-1]
+        )
+        # magic-e lengthening needs exactly ONE consonant between the last
+        # vowel and the e (mode/byte yes; since/dance/glimpse no)
+        if not (len(body) >= 2 and body[-2] in "aeiouy"):
+            silent_e = False
+    # end-cluster vowel corrections ("kind"→aɪnd, "soft"→ɔft), before the
+    # doubled-consonant collapse so "-oss"/"-off" still see both letters
+    tail_ipa = ""
+    for end, end_ipa in _LTS_END_RULES:
+        if body.endswith(end) and len(body) > len(end):
+            body = body[: -len(end)]
+            tail_ipa = end_ipa
+            break
     # doubled consonant letters read as one sound ("dwell", "glass")
     body = re.sub(r"([bcdfglmnprstz])\1", r"\1", body)
     i = 0
     while i < len(body):
         # context-sensitive soft c/g
-        if body[i] == "c" and i + 1 < len(body) and body[i + 1] in _SOFT_C_VOWELS:
+        soft_next = (
+            i + 1 < len(body) and body[i + 1] in _SOFT_C_VOWELS
+        ) or (i == len(body) - 1 and soften_final)
+        if body[i] == "x" and i + 1 < len(body) and body[i + 1] == "c" and (
+            i + 2 >= len(body) and soften_final
+            or body[i + 2 : i + 3] in _SOFT_C_VOWELS
+        ):
+            out.append("ks")  # "xce"/"xci" cluster: except, exceed
+            i += 2
+            continue
+        if body[i] == "c" and soft_next:
             out.append("s")
             i += 1
             continue
-        if body[i] == "g" and i + 1 < len(body) and body[i + 1] in _SOFT_C_VOWELS:
+        if body[i] == "g" and soft_next:
             out.append("ʤ")
             i += 1
             continue
@@ -940,8 +1143,13 @@ def _lts_word(word: str) -> str:
         for short, long_v in [("æ", "eɪ"), ("ɛ", "i"), ("ɪ", "aɪ"), ("ɑ", "oʊ"), ("ə", "u")]:
             idx = ipa.rfind(short)
             if idx != -1:
+                if short == "ə" and idx == 0:
+                    long_v = "ju"  # word-initial long u ("use"→jus)
                 ipa = ipa[:idx] + long_v + ipa[idx + len(short):]
                 break
+    ipa += tail_ipa
+    if past_suffix:
+        return _past_ipa(ipa)  # "nested"→…tɪd, "fixed"→…kst, "used"→…zd
     return ipa + suffix_ipa
 
 
@@ -1038,6 +1246,15 @@ def _morph_word(word: str, depth: int = 0):
         base = stem_ipa(word[:-2])
         if base:
             return base + "li"
+    # comparative -ier / superlative -iest from -y stems ("easier")
+    if n > 4 and word.endswith("ier"):
+        base = stem_ipa(word[:-3] + "y")
+        if base and base.endswith("i"):
+            return base[:-1] + "iər"
+    if n > 5 and word.endswith("iest"):
+        base = stem_ipa(word[:-4] + "y")
+        if base and base.endswith("i"):
+            return base[:-1] + "iəst"
     # comparative / agentive -er, superlative -est
     if n > 3 and word.endswith("er"):
         base = stem_ipa(word[:-1])  # silent-e: "nicer", "user"

@@ -192,13 +192,26 @@ def _accent_type(phrase_hira: str) -> int:
     return 0
 
 
+def _particle_reading(p: str) -> str:
+    """Particles は and へ read わ and え (には→にわ, へは→えわ)."""
+    if p.endswith("は"):
+        p = p[:-1] + "わ"
+    if p.startswith("へ"):
+        p = "え" + p[1:]
+    return p
+
+
 def _segment_accent_phrases(hira: str) -> list:
     """Greedy longest-match split of a kana run into accent phrases: a
     dictionary word plus any attached particles/endings forms one phrase;
     unmatched spans between matches form their own (heiban) phrases.  A
-    lightweight stand-in for openjtalk's accent-phrase analysis."""
+    lightweight stand-in for openjtalk's accent-phrase analysis.
+
+    Returns ``(reading, nucleus)`` pairs: the reading has particle は/へ
+    corrected to わ/え; the accent type is looked up on the raw text."""
     words = sorted(_ACCENT_DICT, key=len, reverse=True)
     attach = sorted(_PARTICLES + _ENDINGS, key=len, reverse=True)
+    particles = set(_PARTICLES)
     phrases = []
     i = start = 0
     n = len(hira)
@@ -212,19 +225,23 @@ def _segment_accent_phrases(hira: str) -> list:
             i += 1
             continue
         if i > start:
-            phrases.append(hira[start:i])
+            raw = hira[start:i]
+            phrases.append((raw, _accent_type(raw)))
         j = i + len(hit)
+        reading = hit
         while True:  # absorb trailing particles/endings
             for a in attach:
                 if hira.startswith(a, j):
                     j += len(a)
+                    reading += _particle_reading(a) if a in particles else a
                     break
             else:
                 break
-        phrases.append(hira[i:j])
+        phrases.append((reading, _accent_type(hira[i:j])))
         i = start = j
     if start < n:
-        phrases.append(hira[start:])
+        raw = hira[start:]
+        phrases.append((raw, _accent_type(raw)))
     return phrases
 
 
@@ -236,12 +253,11 @@ def _kana_to_phonemes_with_accent(text: str) -> str:
     happened there (atamadaka)."""
     hira = _kata_to_hira(text)
     pieces = []
-    for phrase in _segment_accent_phrases(hira):
+    for phrase, nucleus in _segment_accent_phrases(hira):
         moras = _kana_to_moras(phrase)
         n = len(moras)
         if n == 0:
             continue
-        nucleus = _accent_type(phrase)
         out = []
         for idx, mora in enumerate(moras, start=1):  # 1-based mora index
             out.append(mora)

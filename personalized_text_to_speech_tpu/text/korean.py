@@ -148,6 +148,13 @@ _CODA_NEUT = {
 _VOICED_STOP = {"k": "g", "t": "d", "p": "b", "tɕ": "dʑ"}
 _ASPIRATE = {"ㄱ": "ㅋ", "ㄷ": "ㅌ", "ㅂ": "ㅍ", "ㅈ": "ㅊ"}
 _PLAIN_ONSETS = {"ㄱ", "ㄷ", "ㅂ", "ㅈ"}
+_TENSE = {"ㄱ": "ㄲ", "ㄷ": "ㄸ", "ㅂ": "ㅃ", "ㅈ": "ㅉ", "ㅅ": "ㅆ"}
+# double codas simplify to their OBSTRUENT before a consonant
+# (읽다→익따, 삶→삼; before a vowel the liaison split above applies instead)
+_CODA_SIMPLIFY = {"ㄺ": "ㄱ", "ㄻ": "ㅁ", "ㄿ": "ㅍ"}
+# aspirate carried by a following ㅎ onto a neutralized obstruent coda
+# (못하다→모타다, 입학→이팍)
+_NEUT_ASPIRATE = {"k": "ㅋ", "t": "ㅌ", "p": "ㅍ"}
 
 
 def _hangul_to_ipa_builtin(text: str) -> str:
@@ -183,7 +190,12 @@ def _hangul_to_ipa_builtin(text: str) -> str:
             elif nxt is not None and nxt[0] == "ㅇ":
                 s[2], nxt[0] = keep, extra  # 값이 → 갑시
             else:
-                s[2] = keep
+                # before a consonant the cluster simplifies (읽다 → 익-)
+                s[2] = _CODA_SIMPLIFY.get(s[2], keep)
+                # …and a plain onset tenses (앉다 → 안따), which also
+                # shields it from intervocalic voicing in pass 3
+                if nxt is not None and nxt[0] in _TENSE:
+                    nxt[0] = _TENSE[nxt[0]]
         if nxt is None:
             continue
         # coda ㅎ: aspirates a following plain onset, silent before vowel
@@ -199,9 +211,15 @@ def _hangul_to_ipa_builtin(text: str) -> str:
             if nxt[1] == "ㅣ" and moved in ("ㄷ", "ㅌ"):
                 moved = "ㅈ" if moved == "ㄷ" else "ㅊ"
             s[2], nxt[0] = None, moved  # 한국어 → 한구거
-        # onset ㅎ aspirates a preceding obstruent coda (막히다 → 마키다)
+        # onset ㅎ aspirates a preceding obstruent coda: directly for
+        # ㄱㄷㅂㅈ (막히다 → 마키다, ㅈ keeps its palatal place), via the
+        # neutralized class otherwise (못하다 → 모타다)
         elif s[2] in _ASPIRATE and nxt[0] == "ㅎ":
             s[2], nxt[0] = None, _ASPIRATE[s[2]]
+        elif s[2] is not None and nxt[0] == "ㅎ" and _CODA_NEUT.get(
+            s[2]
+        ) in _NEUT_ASPIRATE:
+            s[2], nxt[0] = None, _NEUT_ASPIRATE[_CODA_NEUT[s[2]]]
 
     # pass 2 (IPA level): neutralize codas, assimilate across boundaries
     units = []  # ("on"|"v"|"coda", ipa) or ("chr", ch)
@@ -236,6 +254,8 @@ def _hangul_to_ipa_builtin(text: str) -> str:
                         coda = "s"  # 있습니다 → issɯmnida
                 elif coda == "n" and n_on == "ㄹ":
                     coda = "l"  # lateralization: 신라 → 실라
+                elif coda == "l" and n_on == "ㄴ":
+                    nxt[0] = "ㄹ"  # lateralization: 설날 → 설랄
                 elif coda in ("m", "ŋ") and n_on == "ㄹ":
                     nxt[0] = "ㄴ"  # 음력 → 음녁
             units.append(("coda", coda))

@@ -314,8 +314,7 @@ class TestKorean:
         assert korean.number_to_hangul("21") == "이십일"
 
     def test_korean_to_ipa(self):
-        ipa = korean.korean_to_ipa("안녕")
-        assert len(ipa) > 0
+        assert korean.korean_to_ipa("안녕") == "annjəŋ"
 
 
 class TestCleaners:
@@ -402,7 +401,7 @@ class TestEnglishGoldens:
         "squint": "skwɪnt", "freight": "freɪt", "straw": "strɔ",
         "hoist": "hɔɪst", "gleam": "glim", "probe": "proʊb",
         "stale": "steɪl", "quench": "kwɛnʧ", "bright": "braɪt",
-        "chant": "ʧænt", "swoop": "swup", "plank": "plænk",
+        "chant": "ʧænt", "swoop": "swup", "plank": "plæŋk",
         "drift": "drɪft", "crunch": "krənʧ", "sprain": "spreɪn",
         "twirl": "twərl", "smudge": "sməʤ", "blot": "blɑt",
     }
@@ -517,6 +516,40 @@ class TestKoreanGoldens:
         ("축하합니다", "tʃʰukʰahamnida"),
         ("천만에요", "tʃʰənmanejo"),
         ("알겠습니다", "algessɯmnida"),
+        # round 4: cluster simplification + post-cluster tensing
+        # (읽다→[익따], 앉다→[안따]), ㄹ+ㄴ lateralization (설날→[설랄]),
+        # neutralized-obstruent ㅎ-aspiration (못하다→[모타다]), and
+        # broader rule coverage hand-verified against 표준 발음법
+        ("읽다", "ikta"),
+        ("앉다", "anta"),
+        ("없다", "əpta"),
+        ("많이", "mani"),
+        ("놓아", "noa"),
+        ("좋은", "tʃoɯn"),
+        ("싫어요", "ʃiɾəjo"),
+        ("옷이", "oʃi"),
+        ("한라산", "hallasan"),
+        ("설날", "səllal"),
+        ("강릉", "kaŋnɯŋ"),
+        ("독립", "toŋnip"),
+        ("법률", "pəmnjul"),
+        ("먹는", "məŋnɯn"),
+        ("닫는", "tannɯn"),
+        ("감기", "kamgi"),
+        ("바다", "pada"),
+        ("축하", "tʃʰukʰa"),
+        ("입학", "ipʰak"),
+        ("못하다", "motʰada"),
+        ("꽂히다", "kotʃʰida"),
+        ("굳이", "kudʑi"),
+        ("해돋이", "hɛdodʑi"),
+        ("같은", "katʰɯn"),
+        ("밑에", "mitʰe"),
+        ("부엌에", "puəkʰe"),
+        ("무릎이", "muɾɯpʰi"),
+        ("꽃이", "kotʃʰi"),
+        ("읽어요", "ilgəjo"),
+        ("여덟", "jədəl"),
     ]
 
     def test_phrase_goldens(self):
@@ -534,3 +567,107 @@ class TestKoreanGoldens:
         assert korean._hangul_to_ipa_builtin("신라") == "ɕilla"
         assert korean._hangul_to_ipa_builtin("좋다") == "tɕotʰa"
         assert korean._hangul_to_ipa_builtin("한국어") == "hangugʌ"
+
+
+class TestJapaneseAccentGoldens:
+    """Hand-verified Tokyo pitch-accent phrase goldens through the fallback
+    estimator (reference gets these from pyopenjtalk full-context labels,
+    reference text/japanese.py:74-112).  Covers all four accent classes
+    (atamadaka/odaka/nakadaka/heiban) with particle interactions, including
+    the round-4 particle-reading fix (は→wa, へ→e, を→o)."""
+
+    GOLDENS = [
+        # atamadaka (type 1): fall after mora 1, no rise
+        ("はしが", "ha↓ʃiga"),
+        ("ねこは", "ne↓kowa"),
+        ("てんきが", "te↓Nkiga"),
+        ("めがねを", "me↓ganeo"),
+        ("ほんを", "ho↓No"),
+        ("うみに", "u↓mini"),
+        # odaka (type = final mora): fall surfaces only on the particle
+        ("やまも", "ya↑ma↓mo"),
+        ("かわが", "ka↑wa↓ga"),
+        ("はなが", "ha↑na↓ga"),
+        ("いぬが", "i↑nu↓ga"),
+        ("ゆきが", "yu↑ki↓ga"),
+        ("ふゆは", "fu↑yu↓wa"),
+        # nakadaka (nucleus mid-word)
+        ("にほんは", "ni↑ho↓Nwa"),
+        ("こころが", "ko↑ko↓roga"),
+        ("みせに", "mi↑se↓ni"),
+        ("せんせいが", "se↑Nse↓iga"),
+        ("おとこが", "o↑toko↓ga"),
+        ("おんなが", "o↑Nna↓ga"),
+        ("だいがくは", "da↑iga↓kuwa"),
+        ("ことばが", "ko↑toba↓ga"),
+        ("おとうとが", "o↑touto↓ga"),
+        ("いもうとが", "i↑mouto↓ga"),
+        ("こうえんまで", "ko↑ue↓Nmade"),
+        # heiban (type 0): rise after mora 1, no fall anywhere
+        ("わたしが", "wa↑taʃiga"),
+        ("さくらが", "sa↑kuraga"),
+        ("とけいが", "to↑keiga"),
+        ("みずを", "mi↑zuo"),
+        ("ごはんを", "go↑haNo"),
+        ("ともだちと", "to↑modaʧito"),
+        ("がっこうへ", "ga↑Qkoue"),
+    ]
+
+    def test_phrase_goldens(self):
+        bad = {}
+        for phrase, want in self.GOLDENS:
+            got = japanese.japanese_to_romaji_with_accent(phrase)
+            if got != want:
+                bad[phrase] = (got, want)
+        assert not bad, f"japanese accent goldens mismatched: {bad}"
+
+
+class TestEnglishFallbackAccuracy:
+    """Word-accuracy gate for the fallback G2P (morphology + LTS) on the
+    hand-verified goldens in tools/g2p_goldens.tsv — the reference resolves
+    these through the full eng_to_ipa dictionary
+    (reference text/english.py:160-166); this pins how close the
+    dependency-free fallback gets, not just its coverage."""
+
+    @staticmethod
+    def _goldens():
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "g2p_goldens.tsv",
+        )
+        rows = []
+        for line in open(path, encoding="utf-8"):
+            line = line.strip()
+            if line and not line.startswith("#"):
+                word, gold, resolver = line.split("\t")
+                rows.append((word, gold, resolver))
+        return rows
+
+    def test_goldens_measure_the_fallback_path(self):
+        rows = self._goldens()
+        assert len(rows) >= 120
+        in_lex = [w for w, _, _ in rows if w in english._LEXICON]
+        assert in_lex == [], f"goldens shadowed by lexicon: {in_lex}"
+
+    def test_word_accuracy_floor(self):
+        strip = lambda s: s.replace("ˈ", "").replace("ˌ", "")
+        rows = self._goldens()
+        fails = []
+        for word, gold, _ in rows:
+            got = english._morph_word(word) or english._lts_word(word)
+            if strip(got) != strip(gold):
+                fails.append((word, gold, got))
+        accuracy = 1.0 - len(fails) / len(rows)
+        assert accuracy >= 0.95, (
+            f"fallback G2P accuracy {accuracy:.3f} < 0.95; fails: {fails}"
+        )
+
+    def test_morph_goldens_resolve_via_morphology(self):
+        # the 'morph' rows exist to exercise stem+suffix phonology — if the
+        # morphological layer stops matching them the measurement silently
+        # degrades to LTS
+        for word, _, resolver in self._goldens():
+            if resolver == "morph":
+                assert english._morph_word(word) is not None, word

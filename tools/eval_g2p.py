@@ -46,16 +46,72 @@ def default_corpus_text() -> str:
     return "\n".join(texts)
 
 
+GOLDENS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "g2p_goldens.tsv")
+
+
+def load_goldens(path=GOLDENS_PATH):
+    """[(word, gold_ipa, expected_resolver)] from the hand-verified table."""
+    rows = []
+    for line in open(path, encoding="utf-8"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        word, gold, resolver = line.split("\t")
+        rows.append((word, gold, resolver))
+    return rows
+
+
+def _strip_stress(ipa: str) -> str:
+    return ipa.replace("ˈ", "").replace("ˌ", "")
+
+
+def measure_accuracy(E, verbose=False):
+    """Word-accuracy of the fallback pipeline (morph→LTS) on the goldens.
+    Returns (correct, total, failures)."""
+    correct, total, failures = 0, 0, []
+    for word, gold, resolver in load_goldens():
+        assert word not in E._LEXICON, (
+            f"golden '{word}' is in the lexicon — it no longer measures the "
+            f"fallback path; remove it or pick another word"
+        )
+        got = E._morph_word(word) or E._lts_word(word)
+        got_via = "morph" if E._morph_word(word) else "lts"
+        total += 1
+        if _strip_stress(got) == _strip_stress(gold):
+            correct += 1
+        else:
+            failures.append((word, gold, got, got_via, resolver))
+    if verbose:
+        for word, gold, got, got_via, resolver in failures:
+            print(f"FAIL {word:14s} gold={gold:16s} got={got:16s} "
+                  f"(via {got_via}, expected {resolver})")
+    return correct, total, failures
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", nargs="*", default=None,
                     help="text files (default: installed-package metadata)")
     ap.add_argument("--top", type=int, default=0,
                     help="print the N most frequent fallback words")
+    ap.add_argument("--accuracy", action="store_true",
+                    help="measure fallback G2P word accuracy on the "
+                         "hand-verified goldens (tools/g2p_goldens.tsv)")
     ap.add_argument("--max-words", type=int, default=200000)
     args = ap.parse_args()
 
     from personalized_text_to_speech_tpu.text import english as E
+
+    if args.accuracy:
+        correct, total, failures = measure_accuracy(E, verbose=True)
+        print(json.dumps({
+            "metric": "english fallback G2P word accuracy (hand goldens)",
+            "correct": correct,
+            "total": total,
+            "accuracy": round(correct / max(total, 1), 4),
+        }))
+        return
 
     if args.corpus:
         text = "\n".join(
