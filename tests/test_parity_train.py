@@ -33,6 +33,14 @@ fp32 with ``jax_default_matmul_precision=highest`` (tests/conftest.py).
 Asserted: MAS path exactly identical, slice windows exactly identical,
 all latent intermediates ≤1e-3, generated segment audio ≤1e-3, and all six
 loss terms (disc/gen/fm/mel/dur/kl) ≤1e-3 vs torch.
+
+Beyond the forward: the GRADIENTS of the total generator loss w.r.t. every
+generator parameter and of the discriminator loss w.r.t. every
+discriminator parameter are compared tensor-by-tensor against torch
+autograd (``flax_to_torch`` maps gradient pytrees exactly like weights —
+pure transposes and the shared (v,g) weight-norm decomposition), so the
+whole training surface — forward, losses, and backward — is pinned to the
+executed reference.
 """
 
 import math
@@ -247,6 +255,44 @@ def results():
     loss_fm = our_losses.feature_loss(fmap_r, fmap_g)
     loss_gen, _ = our_losses.generator_loss(y_d_g)
 
+    # ---- our side: gradients of the same losses ------------------------
+    def g_total_loss(gp):
+        o = ours.apply(
+            {"params": gp},
+            jnp.asarray(tokens, jnp.int32),
+            jnp.asarray(TEXT_LENS, jnp.int32),
+            spec_j,
+            jnp.asarray(SPEC_LENS, jnp.int32),
+            jnp.asarray(SIDS, jnp.int32),
+            deterministic=True,
+            slice_ids=jnp.asarray(ids_slice),
+            posterior_noise=jnp.asarray(post_noise),
+            dp_noise=jnp.asarray(dp_noise),
+        )
+        yh = o["wav_hat"]
+        yh_mel = mel_spectrogram(yh, MEL_CFG)
+        _, ydg, fr, fg = d_model.apply(d_params, y_seg, yh)
+        l_dur = jnp.sum(o["l_length"].astype(jnp.float32))
+        l_mel = jnp.mean(jnp.abs(y_mel - yh_mel)) * C_MEL
+        l_kl = our_losses.kl_loss(
+            o["z_p"], o["logs_q"], o["m_p"], o["logs_p"], o["y_mask"]
+        ) * C_KL
+        l_fm = our_losses.feature_loss(fr, fg)
+        l_gen, _ = our_losses.generator_loss(ydg)
+        return l_gen + l_fm + l_mel + l_dur + l_kl
+
+    def d_total_loss(dp):
+        ydr, ydg, _, _ = d_model.apply(
+            {"params": dp}, y_seg, jax.lax.stop_gradient(y_hat)
+        )
+        l_disc, _, _ = our_losses.discriminator_loss(ydr, ydg)
+        return l_disc
+
+    grads_g = jax.grad(g_total_loss)(g_params["params"])
+    grads_d = jax.grad(d_total_loss)(d_params["params"])
+    grads_g_t = tc.flax_to_torch({"params": grads_g})
+    grads_d_t = tc.flax_to_torch({"params": grads_d})
+
     ours_out = {
         "attn": np.asarray(out["attn"]),
         "z": np.asarray(out["z"]),
@@ -361,6 +407,58 @@ def results():
         loss_fm_t = ref_losses.feature_loss(fmap_r_t, fmap_g_t)
         loss_gen_t, _ = ref_losses.generator_loss(y_d_g_t)
 
+    # ---- torch side: gradients via autograd over the same assembly ----
+    # (reference finetune_speaker_v2.py:206-232: D loss on detached audio,
+    # G total = gen + fm + mel + dur + kl)
+    try:
+        torch.randn_like = lambda t: torch.from_numpy(
+            np.ascontiguousarray(post_noise.transpose(0, 2, 1))
+        )
+        torch.randn = lambda *s, **k: torch.from_numpy(
+            np.ascontiguousarray(dp_noise.transpose(0, 2, 1))
+        )
+        torch.rand = lambda *s, **k: torch.from_numpy(slice_u)
+        yg_hat, lg_length, _, ids_g, _, zg_mask, \
+            (zg, zg_p, mg_p, logsg_p, mg_q, logsg_q) = net_g(
+                x_t, x_lengths_t, spec_t, spec_lengths_t, sid_t
+            )
+    finally:
+        torch.randn = real_randn
+        torch.randn_like = real_randn_like
+        torch.rand = real_rand
+    assert (ids_g.numpy() == ids_slice).all()
+
+    yg_mel = ref_commons.slice_segments(mel_t, ids_g, CFG["segment_size"])
+    yg_hat_mel = ref_mel.mel_spectrogram_torch(
+        yg_hat.squeeze(1), 1024, 80, 22050, 256, 1024, 0.0, None
+    )
+    yg_seg = ref_commons.slice_segments(y_t, ids_g * HOP, SEG_SAMPLES)
+
+    net_d.zero_grad()
+    d_r_g, d_g_g, _, _ = net_d(yg_seg, yg_hat.detach())
+    loss_disc_g, _, _ = ref_losses.discriminator_loss(d_r_g, d_g_g)
+    loss_disc_g.backward()
+    torch_grads_d = {
+        k: p.grad.detach().numpy().copy()
+        for k, p in net_d.named_parameters() if p.grad is not None
+    }
+
+    net_g.zero_grad()
+    net_d.zero_grad()
+    _, d_g_g2, fmap_r_g, fmap_g_g = net_d(yg_seg, yg_hat)
+    loss_gen_g, _ = ref_losses.generator_loss(d_g_g2)
+    loss_fm_g = ref_losses.feature_loss(fmap_r_g, fmap_g_g)
+    loss_mel_g = F.l1_loss(yg_mel, yg_hat_mel) * C_MEL
+    loss_dur_g = torch.sum(lg_length.float())
+    loss_kl_g = ref_losses.kl_loss(
+        zg_p, logsg_q, mg_p, logsg_p, zg_mask
+    ) * C_KL
+    (loss_gen_g + loss_fm_g + loss_mel_g + loss_dur_g + loss_kl_g).backward()
+    torch_grads_g = {
+        k: p.grad.detach().numpy().copy()
+        for k, p in net_g.named_parameters() if p.grad is not None
+    }
+
     theirs_out = {
         "attn": attn_t.squeeze(1).numpy(),
         "z": z_t.numpy().transpose(0, 2, 1),
@@ -378,7 +476,11 @@ def results():
             "fm": float(loss_fm_t), "mel": float(loss_mel_t),
             "dur": float(loss_dur_t), "kl": float(loss_kl_t),
         },
+        "grads_g": torch_grads_g,
+        "grads_d": torch_grads_d,
     }
+    ours_out["grads_g"] = grads_g_t
+    ours_out["grads_d"] = grads_d_t
     return ours_out, theirs_out
 
 
@@ -428,3 +530,70 @@ class TestTrainingGraphParity:
         a, b = ours["losses"][name], theirs["losses"][name]
         err = abs(a - b)
         assert err <= 1e-3, f"loss_{name}: ours {a} vs torch {b} (err {err})"
+
+    def test_optimizer_update_matches_torch(self):
+        """The update rule itself: optax adamw + staircase exponential decay
+        (train/state.py) vs torch AdamW + per-epoch ExponentialLR (reference
+        finetune_speaker_v2.py:133-148), stepped through two epochs on
+        identical gradients."""
+        import optax
+
+        from personalized_text_to_speech_tpu.train.state import make_optimizer
+
+        rng = np.random.default_rng(5)
+        p0 = rng.normal(size=(4, 3)).astype(np.float32)
+        grads = [rng.normal(size=(4, 3)).astype(np.float32) for _ in range(6)]
+
+        tx = make_optimizer(
+            2e-4, (0.8, 0.99), 1e-9, 0.999875, steps_per_epoch=2
+        )
+        params = {"w": jnp.asarray(p0)}
+        state = tx.init(params)
+        ours = []
+        for g in grads:
+            updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = optax.apply_updates(params, updates)
+            ours.append(np.asarray(params["w"]))
+
+        w = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        opt = torch.optim.AdamW([w], lr=2e-4, betas=(0.8, 0.99), eps=1e-9)
+        sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.999875)
+        for i, g in enumerate(grads):
+            opt.zero_grad()
+            w.grad = torch.from_numpy(g.copy())
+            opt.step()
+            np.testing.assert_allclose(
+                ours[i], w.detach().numpy(), rtol=1e-6, atol=1e-9,
+                err_msg=f"param divergence at step {i}",
+            )
+            if i % 2 == 1:  # reference steps the scheduler once per epoch
+                sched.step()
+
+    @pytest.mark.parametrize("which", ["grads_g", "grads_d"])
+    def test_gradient_parity(self, results, which):
+        """Every parameter gradient matches torch autograd: same keys
+        (flax_to_torch maps gradient pytrees exactly like weights), and
+        values within fp32 backward accumulation noise."""
+        ours, theirs = results
+        a, b = ours[which], theirs[which]
+        assert set(a) == set(b), (
+            f"gradient key mismatch: only-ours "
+            f"{sorted(set(a) - set(b))[:4]}, only-torch "
+            f"{sorted(set(b) - set(a))[:4]}"
+        )
+        gscale = max(float(np.abs(v).max()) for v in b.values())
+        bad = {}
+        for k in b:
+            ga = np.asarray(a[k], dtype=np.float32)
+            gb = b[k]
+            assert ga.shape == gb.shape, (k, ga.shape, gb.shape)
+            err = np.abs(ga - gb).max()
+            # absolute tolerance on the global gradient scale: per-tensor
+            # relative bounds explode on near-zero gradients
+            if err > 2e-3 * gscale + 1e-6:
+                bad[k] = float(err)
+        assert not bad, (
+            f"{which}: {len(bad)}/{len(b)} tensors beyond tolerance "
+            f"(scale {gscale:.3g}): "
+            f"{dict(sorted(bad.items(), key=lambda kv: -kv[1])[:6])}"
+        )
