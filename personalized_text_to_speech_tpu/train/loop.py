@@ -186,7 +186,14 @@ class Trainer:
                 self.g_state = jax.device_put(self.g_state, repl)
                 self.d_state = jax.device_put(self.d_state, repl)
 
-        self.step_fn = make_jitted_train_step(self.g_model, self.d_model, hps)
+        # accum_steps > 1: exact-big-batch gradient accumulation; remat:
+        # jax.checkpoint on the generator forward — both for memory-limited
+        # geometries (train/step.py module docstring)
+        self.step_fn = make_jitted_train_step(
+            self.g_model, self.d_model, hps,
+            accum_steps=int(hps.train.get("accum_steps", 1)),
+            remat=str(hps.train.get("remat", "none")),
+        )
         self.global_step = 0
         self.epoch = 1
         self.rng = jax.random.PRNGKey(hps.train.seed + 17)

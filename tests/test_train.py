@@ -50,7 +50,7 @@ def tiny_hps():
                 "training_files": "",
                 "validation_files": "",
             },
-            "model": {},
+            "model": {"inter_channels": 8},  # must match tiny_model
             "symbols": list("abcdefghij"),
             "speakers": {},
         }
