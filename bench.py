@@ -28,20 +28,11 @@ import numpy as np
 
 
 def _relay_alive() -> bool:
-    """On axon loopback attaches, every device op futex-waits forever if the
-    tunnel relay process has died — fail fast with a diagnosable JSON line
-    instead of hanging the caller (see CLAUDE.md operational findings)."""
-    if os.environ.get("PALLAS_AXON_POOL_IPS") != "127.0.0.1":
-        return True  # not a loopback-relay attach
-    try:
-        import subprocess
+    """Fail fast with a diagnosable JSON line instead of hanging the caller
+    (utils/runtime.relay_alive; see CLAUDE.md operational findings)."""
+    from personalized_text_to_speech_tpu.utils.runtime import relay_alive
 
-        out = subprocess.run(
-            ["ps", "-eo", "cmd"], capture_output=True, text=True, timeout=10
-        ).stdout
-        return ".tpu_init.py" in out
-    except Exception:
-        return True  # can't tell — proceed normally
+    return relay_alive()
 
 
 def main():

@@ -13,4 +13,8 @@ from personalized_text_to_speech_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
-from personalized_text_to_speech_tpu.parallel import tp  # noqa: F401
+from personalized_text_to_speech_tpu.parallel import sp, tp  # noqa: F401
+from personalized_text_to_speech_tpu.parallel.sp import (  # noqa: F401
+    shard_batch_sp,
+    sp_batch_shardings,
+)

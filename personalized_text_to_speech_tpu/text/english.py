@@ -325,6 +325,10 @@ _LEXICON = {
     "ship": "ʃɪp", "walk": "wɔk", "run": "rən", "ran": "ræn",
     "jump": "ʤəmp", "sit": "sɪt", "stand": "stænd", "sleep": "slip",
     "eat": "it", "drink": "drɪŋk", "open": "ˈoʊpən", "close": "kloʊs",
+    # verb inflections of "close" voice the s (the adjective entry above
+    # feeds "closely"/"closer"; the bare verb/adj split is contextual —
+    # _resolve_heteronym)
+    "closed": "kloʊzd", "closing": "ˈkloʊzɪŋ", "closes": "ˈkloʊzɪz",
     "start": "stɑrt", "stop": "stɑp", "play": "pleɪ", "sing": "sɪŋ",
     "dance": "dæns", "write": "raɪt", "wrote": "roʊt", "draw": "drɔ",
     "speak": "spik", "spoke": "spoʊk", "listen": "ˈlɪsən", "hear": "hir",
@@ -1285,21 +1289,230 @@ def _spell_out(word: str) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Heteronyms: context-dependent readings
+# --------------------------------------------------------------------------
+# The reference resolves English through eng_to_ipa's dictionary, which is
+# context-FREE — "tear the page" and "shed a tear" get the same IPA
+# (reference text/english.py:160-166).  This layer disambiguates the
+# highest-frequency heteronym pairs from local word context.  The cues are
+# deliberately conservative: a cue fires only when it is a near-certain
+# signal; anything ambiguous falls back to the pair's statistically
+# dominant reading (which matches the context-free lexicon entry, so
+# behavior without a cue is unchanged).
+
+# determiners/prepositions that mark the following heteronym as a noun
+_DET_BEFORE = frozenset((
+    "the", "a", "an", "this", "that", "these", "those", "my", "your",
+    "his", "her", "its", "our", "their", "no", "any", "some", "each",
+    "every", "another", "whose", "of",
+))
+# infinitive marker / modals / negated auxiliaries / subject pronouns that
+# mark the following heteronym as a finite or base-form verb
+_VERB_BEFORE = frozenset((
+    "to", "will", "would", "can", "could", "shall", "should", "may",
+    "might", "must", "please", "cannot", "cant", "dont", "doesnt",
+    "didnt", "wont", "couldnt", "wouldnt", "shouldnt", "lets",
+    "i", "we", "they", "you",
+))
+
+# stress-shift noun↔verb pairs: word → (noun reading, verb reading,
+# default part of speech when no cue fires).  Inflected -s forms are
+# generated below with the regular voicing-assimilated ending.
+_NOUN_VERB_HETERONYMS = {
+    "record": ("ˈrɛkərd", "rɪˈkɔrd", "n"),
+    "present": ("ˈprɛzənt", "priˈzɛnt", "n"),
+    "object": ("ˈɑbʤɛkt", "əbˈʤɛkt", "n"),
+    "project": ("ˈprɑʤɛkt", "prəˈʤɛkt", "n"),
+    "produce": ("ˈproʊdus", "prəˈdus", "v"),
+    "permit": ("ˈpərˌmɪt", "pərˈmɪt", "v"),
+    "protest": ("ˈproʊˌtɛst", "prəˈtɛst", "n"),
+    "suspect": ("ˈsəˌspɛkt", "səˈspɛkt", "n"),
+    "contract": ("ˈkɑnˌtrækt", "kənˈtrækt", "n"),
+    "conduct": ("ˈkɑndəkt", "kənˈdəkt", "n"),
+    "conflict": ("ˈkɑnflɪkt", "kənˈflɪkt", "n"),
+    "increase": ("ˈɪnˌkris", "ɪnˈkris", "v"),
+    "decrease": ("ˈdiˌkris", "dɪˈkris", "v"),
+    "desert": ("ˈdɛzərt", "dɪˈzərt", "n"),
+    "refuse": ("ˈrɛfˌjus", "rɪˈfjuz", "v"),
+    "content": ("ˈkɑntɛnt", "kənˈtɛnt", "n"),
+    "extract": ("ˈɛkˌstrækt", "ɪkˈstrækt", "v"),
+    "import": ("ˈɪmˌpɔrt", "ɪmˈpɔrt", "n"),
+    "export": ("ˈɛkˌspɔrt", "ɪkˈspɔrt", "n"),
+    "digest": ("ˈdaɪʤɛst", "daɪˈʤɛst", "n"),
+}
+for _w, (_n, _v, _d) in list(_NOUN_VERB_HETERONYMS.items()):
+    _NOUN_VERB_HETERONYMS[_w + "s"] = (_plural_ipa(_n), _plural_ipa(_v), _d)
+del _w, _n, _v, _d
+
+# next-word cues for the segmental pairs below
+_LIVE_ADJ_NEXT = frozenset((
+    "music", "concert", "concerts", "stream", "streams", "streaming",
+    "show", "shows", "broadcast", "broadcasts", "performance",
+    "performances", "audience", "event", "events", "coverage", "album",
+    "recording", "demo", "tv", "video", "feed", "wire", "wires",
+))
+_LIVE_ADJ_PREV = frozenset((
+    "is", "are", "was", "were", "go", "goes", "going", "went", "gone",
+    "now",
+))
+_TEAR_VERB_NEXT = frozenset((
+    "up", "down", "apart", "off", "through", "into", "open", "it",
+    "them", "the", "a", "an", "your", "my", "his", "her", "their",
+    "our", "its",
+))
+_READ_PAST_BEFORE = frozenset((
+    "have", "has", "had", "was", "were", "been", "already", "ive",
+    "weve", "theyve", "youve", "hes", "shes", "id", "hed",
+))
+_LEAD_METAL_NEXT = frozenset((
+    "pipe", "pipes", "paint", "poisoning", "acid", "pencil", "pencils",
+    "shield", "shielding", "exposure", "levels",
+))
+_DOVE_VERB_CUE_PREV = frozenset(("he", "she", "i", "we", "they", "it"))
+_DOVE_VERB_CUE_NEXT = frozenset((
+    "in", "into", "under", "down", "off", "deep", "deeper", "for",
+    "toward", "towards", "headfirst", "beneath", "below",
+))
+_BOW_BEND_NEXT = frozenset(("to", "down", "before", "deeply", "politely", "low"))
+_BOW_BEND_PREV = frozenset(("take", "takes", "took", "taking", "final", "deep"))
+_CLOSE_ADJ_PREV = frozenset(("so", "too", "very", "how", "as", "quite",
+                             "really", "pretty"))
+_CLOSE_ADJ_NEXT = frozenset(("to", "by", "enough"))
+_CLOSE_VERB_NEXT = frozenset((
+    "the", "a", "an", "it", "them", "this", "that", "your", "my",
+    "his", "her", "their", "our", "its", "down", "all",
+))
+_BE_BEFORE = frozenset(("is", "are", "was", "were", "be", "been",
+                        "being", "get", "gets", "got", "getting"))
+
+
+def _resolve_heteronym(word: str, prev: str, nxt: str, prev2: str = ""):
+    """IPA for ``word`` chosen from (prev, next) word context; None when
+    the word is not a known heteronym (normal lexicon path applies).
+    ``prev2`` (two words back, same clause) catches a determiner with one
+    intervening modifier: "a parking permit", "fresh produce"."""
+    spec = _NOUN_VERB_HETERONYMS.get(word)
+    if spec is not None:
+        noun, verb, default = spec
+        if word == "produce" and prev in ("fresh", "local", "organic",
+                                          "farm", "seasonal"):
+            return noun
+        if prev in _VERB_BEFORE:
+            return verb
+        if prev in _DET_BEFORE:
+            return noun
+        if prev2 in _VERB_BEFORE:
+            return verb
+        if prev2 in _DET_BEFORE:
+            return noun
+        return noun if default == "n" else verb
+    if word == "read":
+        return "rɛd" if prev in _READ_PAST_BEFORE else "rid"
+    if word == "live":
+        if nxt in _LIVE_ADJ_NEXT or prev in _LIVE_ADJ_PREV:
+            return "laɪv"
+        return "lɪv"
+    if word == "lives":
+        # plural of "life" after a possessor/determiner; 3rd-person verb
+        # otherwise ("she lives in Tokyo")
+        return "laɪvz" if prev in _DET_BEFORE else "lɪvz"
+    if word in ("tear", "tears"):
+        z = "z" if word.endswith("s") else ""
+        if prev in _VERB_BEFORE:
+            return "tɛr" + z
+        if prev in _DET_BEFORE:
+            return "tɪr" + z
+        if nxt in _TEAR_VERB_NEXT:
+            return "tɛr" + z
+        return "tɪr" + z
+    if word == "wind":
+        return "waɪnd" if (nxt in ("up", "down") or prev == "to") else "wɪnd"
+    if word == "wound":
+        if nxt in ("up", "around", "down", "tightly") or \
+                prev in _DOVE_VERB_CUE_PREV:
+            return "waʊnd"
+        return "wund"
+    if word == "lead":
+        return "lɛd" if nxt in _LEAD_METAL_NEXT else "lid"
+    if word == "dove":
+        if prev in _DOVE_VERB_CUE_PREV or nxt in _DOVE_VERB_CUE_NEXT:
+            return "doʊv"
+        return "dəv"
+    if word == "bow":
+        if nxt in _BOW_BEND_NEXT or prev in _BOW_BEND_PREV:
+            return "baʊ"
+        return "boʊ"
+    if word == "close":
+        if prev in _VERB_BEFORE:
+            return "kloʊz"
+        if nxt in _CLOSE_ADJ_NEXT or prev in _CLOSE_ADJ_PREV:
+            return "kloʊs"
+        if nxt in _CLOSE_VERB_NEXT:
+            return "kloʊz"
+        return "kloʊs"
+    if word in ("use", "uses"):
+        noun = prev in _DET_BEFORE or prev in ("in", "no")
+        if word == "use":
+            return "jus" if noun else "juz"
+        return "ˈjusɪz" if noun else "ˈjuzɪz"
+    if word == "used":
+        # habitual "used to" is /just/; the passive keeps /juzd/
+        # ("it is used to measure")
+        if nxt == "to" and prev not in _BE_BEFORE:
+            return "just"
+        return "juzd"
+    if word == "bass":
+        if nxt in ("fishing", "fish") or \
+                prev in ("largemouth", "smallmouth", "sea", "striped"):
+            return "bæs"
+        return "beɪs"
+    return None
+
+
+# punctuation that ends a heteronym's context window: cues never cross a
+# clause boundary ("…with a tear. Up next…" must not read "tear up")
+_CLAUSE_BREAK_RE = re.compile(r"[.!?;:,()\[\]\"—-]")
+
+
 def _builtin_convert(text: str) -> str:
+    toks = _WORD_RE.findall(text)
+    # word-token stream with clause-local neighbors for heteronym context
+    is_word = [bool(t) and t[0].isalpha() for t in toks]
     parts = []
-    for tok in _WORD_RE.findall(text):
-        if tok and tok[0].isalpha():
-            word = tok.replace("'", "")
-            if len(word) > 1 and not any(c in "aeiouy" for c in word):
-                # no vowel ⇒ not pronounceable as a word: spell it
-                # ("http" → letter names, like a human reader would)
-                parts.append(_spell_out(word))
-                continue
-            parts.append(
-                _LEXICON.get(word) or _morph_word(word) or _lts_word(word)
-            )
-        else:
+    for i, tok in enumerate(toks):
+        if not is_word[i]:
             parts.append(tok)
+            continue
+        word = tok.replace("'", "")
+        prev = prev2 = nxt = ""
+        for j in range(i - 1, -1, -1):
+            if is_word[j]:
+                if not prev:
+                    prev = toks[j].replace("'", "")
+                    continue
+                prev2 = toks[j].replace("'", "")
+                break
+            if _CLAUSE_BREAK_RE.search(toks[j]):
+                break
+        for j in range(i + 1, len(toks)):
+            if is_word[j]:
+                nxt = toks[j].replace("'", "")
+                break
+            if _CLAUSE_BREAK_RE.search(toks[j]):
+                break
+        het = _resolve_heteronym(word, prev, nxt, prev2)
+        if het is not None:
+            parts.append(het)
+            continue
+        if len(word) > 1 and not any(c in "aeiouy" for c in word):
+            # no vowel ⇒ not pronounceable as a word: spell it
+            # ("http" → letter names, like a human reader would)
+            parts.append(_spell_out(word))
+            continue
+        parts.append(
+            _LEXICON.get(word) or _morph_word(word) or _lts_word(word)
+        )
     return "".join(parts)
 
 

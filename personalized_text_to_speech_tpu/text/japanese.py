@@ -157,6 +157,10 @@ _ACCENT_DICT = {
     "びょういん": 3, "だいがく": 3, "めざまし": 3, "はたち": 3,
     # type 4
     "おとうと": 4, "いもうと": 4, "みなみ": 3,
+    # demonstratives/pronouns (particle-は after these is very frequent:
+    # これは/それは must read …わ)
+    "これ": 0, "それ": 0, "あれ": 0, "どれ": 1,
+    "ここ": 0, "そこ": 0, "あそこ": 0, "どこ": 1, "かれ": 1,
     # type 0 (heiban — listed so particles attach without dictionary miss)
     "わたし": 0, "さくら": 0, "とけい": 0, "くるま": 0, "さかな": 0,
     "がっこう": 0, "かばん": 0, "でんわ": 0, "ともだち": 0, "みず": 0,
@@ -314,6 +318,11 @@ def japanese_to_romaji_with_accent(text: str) -> str:
             if _pyopenjtalk is not None:
                 out += _openjtalk_romaji_with_accent(sentence)
             else:
+                # lexicalized greetings keep the historical topic-particle
+                # spelling but read わ (openjtalk resolves these natively)
+                sentence = sentence.replace(
+                    "こんにちは", "こんにちわ"
+                ).replace("こんばんは", "こんばんわ")
                 out += _kana_to_phonemes_with_accent(sentence)
         if i < len(marks):
             out += ascii_fold(marks[i]).replace(" ", "")

@@ -158,8 +158,22 @@ class Trainer:
                 {"spectral": d_vars["spectral"]} if "spectral" in d_vars else None
             ),
         )
+        # tpu.sp: sequence parallelism — frame axis sharded over the `model`
+        # axis with params REPLICATED (parallel/sp.py); it consumes the same
+        # mesh axis as tensor parallelism, so the two are exclusive: sp wins
+        # and the TP param sharding below is skipped
+        self._sp = bool(
+            hps.tpu.get("sp", False)
+            and self.mesh is not None
+            and "model" in self.mesh.axis_names
+            and self.mesh.shape["model"] > 1
+        )
         if self.mesh is not None:
-            if "model" in self.mesh.shape and self.mesh.shape["model"] > 1:
+            if (
+                not self._sp
+                and "model" in self.mesh.shape
+                and self.mesh.shape["model"] > 1
+            ):
                 # tensor parallelism over the `model` axis: conv/dense
                 # out-channels + embedding features sharded, optimizer
                 # moments follow (parallel/tp.py); GSPMD inserts the
@@ -189,10 +203,20 @@ class Trainer:
         # accum_steps > 1: exact-big-batch gradient accumulation; remat:
         # jax.checkpoint on the generator forward — both for memory-limited
         # geometries (train/step.py module docstring)
+        sp_spec = None
+        if self._sp:
+            self.logger.info(
+                "sequence parallelism over 'model' x%d: frame axis sharded, "
+                "params replicated", self.mesh.shape["model"],
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sp_spec = NamedSharding(self.mesh, P("data", "model", None))
         self.step_fn = make_jitted_train_step(
             self.g_model, self.d_model, hps,
             accum_steps=int(hps.train.get("accum_steps", 1)),
             remat=str(hps.train.get("remat", "none")),
+            sp_spec=sp_spec,
         )
         self.global_step = 0
         self.epoch = 1
@@ -259,7 +283,14 @@ class Trainer:
                 sid=batch_np["sid"],
             )
             if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
+                if self._sp:
+                    from personalized_text_to_speech_tpu.parallel.sp import (
+                        shard_batch_sp,
+                    )
+
+                    batch = shard_batch_sp(batch, self.mesh)
+                else:
+                    batch = shard_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             self.g_state, self.d_state, metrics = self.step_fn(
                 self.g_state, self.d_state, batch, step_rng

@@ -120,6 +120,7 @@ def make_train_step(
     accum_steps: int = 1,
     deterministic: bool = False,
     remat: str = "none",
+    sp_spec=None,
 ):
     """Build the jittable (g_state, d_state, batch, rng) → (states, metrics).
 
@@ -144,7 +145,14 @@ def make_train_step(
     ``remat`` ("none"/"dots"/"full") applies ``jax.checkpoint`` to the
     generator forward whose pullback the step retains — identical gradients
     (tests/test_train_remat.py), lower peak activation memory, extra
-    recompute in the backward.  Composes with ``accum_steps``."""
+    recompute in the backward.  Composes with ``accum_steps``.
+
+    ``sp_spec`` (a ``NamedSharding`` like ``P('data', 'model', None)``)
+    enables sequence parallelism: the derived spectrogram's FRAME axis is
+    constraint-pinned to the mesh and GSPMD propagates time-sharding
+    through the posterior encoder and flow, inserting conv halo exchanges
+    (design: parallel/sp.py).  Callers also shard the input waveform's
+    sample axis (``parallel.sp.shard_batch_sp``)."""
     mel_cfg = MelConfig.from_hparams(hps)
     seg_frames = hps.train.segment_size // hps.data.hop_length
     seg_samples = hps.train.segment_size
@@ -189,7 +197,7 @@ def make_train_step(
         return spec_lengths, ids_slice, post_noise, dp_noise, rng_drop
 
     def _apply_g(g_params, mb: Batch, spec, spec_lengths, ids, pn, dpn, rng_drop):
-        return g_model.apply(
+        out = g_model.apply(
             {"params": g_params},
             mb.text,
             mb.text_lengths,
@@ -202,12 +210,52 @@ def make_train_step(
             dp_noise=dpn,
             rngs={"dropout": rng_drop},
         )
+        return out
+
+    def _constrain_sp(spec):
+        """Pin the frame axis to the mesh under sequence parallelism —
+        one anchor constraint; GSPMD propagates from here."""
+        if sp_spec is None:
+            return spec
+        return jax.lax.with_sharding_constraint(spec, sp_spec)
+
+    def _constrain_seg(x):
+        """Under SP, pin segment-level tensors (everything the
+        discriminators consume) with their BATCH axis sharded over *both*
+        mesh axes, at their consumption site.  Two reasons:
+
+        * efficiency — once the random windows are sliced out of the
+          time-sharded stream, the segment phase (decoder output, mel
+          target, both discriminator passes) has no long time axis left,
+          so the ``model`` axis is re-used for batch parallelism instead
+          of computing the same segments once per model shard;
+        * correctness — pinning the segments model-REPLICATED instead
+          trips an XLA SPMD bug: the weight gradient of *grouped*
+          convolutions (DiscriminatorS convs 1-4, ``groups`` 4-256) comes
+          back exactly ×model_size (bisected to a minimal grouped-conv
+          repro on the 8-device CPU mesh; the partitioner even warns about
+          the involuntary reshard, Shardy b/433785288).  Sharding the
+          batch gives the weight-grad contraction a real partition
+          dimension and the psum is emitted exactly once.  The regression
+          is pinned by tests/test_sharding.py::TestSequenceParallel at
+          2e-6·scale (bias grads stayed exact either way — only the
+          grouped kernels mis-accumulated)."""
+        if sp_spec is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_axis, seq_axis = sp_spec.spec[0], sp_spec.spec[1]
+        sh = NamedSharding(
+            sp_spec.mesh,
+            P((data_axis, seq_axis), *([None] * (x.ndim - 1))),
+        )
+        return jax.lax.with_sharding_constraint(x, sh)
 
     def _targets(mb: Batch, spec, ids):
         """On-device DSP targets (the reference did this on CPU workers)."""
         mel_full = spec_to_mel(spec, mel_cfg)  # [B, Ts, n_mels]
-        y_mel = slice_segments(mel_full, ids, seg_frames)
-        y_seg = slice_segments(mb.wav, ids * hop, seg_samples)
+        y_mel = _constrain_seg(slice_segments(mel_full, ids, seg_frames))
+        y_seg = _constrain_seg(slice_segments(mb.wav, ids * hop, seg_samples))
         return y_mel, y_seg
 
     def fused_step(
@@ -221,7 +269,9 @@ def make_train_step(
         )
 
         # ---- 0. on-device feature extraction ----------------------------
-        spec = linear_spectrogram(batch.wav, mel_cfg)  # [B, Ts, n_freq]
+        spec = _constrain_sp(
+            linear_spectrogram(batch.wav, mel_cfg)
+        )  # [B, Ts, n_freq]
 
         # ---- 1. generator forward with retained pullback ----------------
         def g_forward(g_params):
@@ -238,7 +288,7 @@ def make_train_step(
         y_mel, y_seg = _targets(batch, spec, ids_slice)
 
         # ---- 3. discriminator update on detached audio -------------------
-        y_hat_sg = jax.lax.stop_gradient(y_hat)
+        y_hat_sg = _constrain_seg(jax.lax.stop_gradient(y_hat))
 
         def d_loss_fn(d_params):
             if use_spectral:
@@ -270,10 +320,11 @@ def make_train_step(
 
         # ---- 4. generator losses through the UPDATED discriminator -------
         def g_loss_from_out(g_out):
-            y_hat_mel = mel_spectrogram(g_out["wav_hat"], mel_cfg)
+            y_hat_c = _constrain_seg(g_out["wav_hat"])
+            y_hat_mel = mel_spectrogram(y_hat_c, mel_cfg)
             _, y_d_g, fmap_r, fmap_g = d_model.apply(
                 {"params": d_state.params, **(d_state.mutables or {})},
-                y_seg, g_out["wav_hat"],
+                y_seg, y_hat_c,
             )
             loss_dur = jnp.sum(g_out["l_length"].astype(jnp.float32))
             loss_mel = (
@@ -368,9 +419,9 @@ def make_train_step(
         # ---- phase 1: D gradients on detached audio, current D -----------
         def phase1(dgrads, xs_i):
             mb, ids, pn, dpn, slens, idx = xs_i
-            spec = linear_spectrogram(mb.wav, mel_cfg)
+            spec = _constrain_sp(linear_spectrogram(mb.wav, mel_cfg))
             out = forward_micro(g_state.params, mb, slens, ids, pn, dpn, idx, spec)
-            y_hat_sg = jax.lax.stop_gradient(out["wav_hat"])
+            y_hat_sg = _constrain_seg(jax.lax.stop_gradient(out["wav_hat"]))
             y_mel, y_seg = _targets(mb, spec, ids)
 
             def d_loss_fn(d_params):
@@ -436,7 +487,7 @@ def make_train_step(
 
         def phase2(ggrads, xs_i):
             mb, ids, pn, dpn, slens, idx = xs_i
-            spec = linear_spectrogram(mb.wav, mel_cfg)
+            spec = _constrain_sp(linear_spectrogram(mb.wav, mel_cfg))
             y_mel, y_seg = _targets(mb, spec, ids)
 
             def g_forward(g_params):
@@ -445,10 +496,11 @@ def make_train_step(
             out, g_vjp = jax.vjp(_wrap_remat(g_forward, remat), g_state.params)
 
             def g_loss_from_out(g_out):
-                y_hat_mel = mel_spectrogram(g_out["wav_hat"], mel_cfg)
+                y_hat_c = _constrain_seg(g_out["wav_hat"])
+                y_hat_mel = mel_spectrogram(y_hat_c, mel_cfg)
                 _, y_d_g, fmap_r, fmap_g = d_model.apply(
                     {"params": d_params_new, **d_mut_new},
-                    y_seg, g_out["wav_hat"],
+                    y_seg, y_hat_c,
                 )
                 # model divided l_length by THIS micro's Σx_mask — rescale
                 # to the full-batch normalizer (module docstring)
@@ -534,13 +586,15 @@ def make_jitted_train_step(
     donate: bool = True,
     accum_steps: int = 1,
     remat: str = "none",
+    sp_spec=None,
 ):
     """jit the step (donating both train states).  Sharding comes from the
     ARGUMENT placements: callers device_put the states replicated and the
     batch sharded over the mesh's ``data`` axis (see ``train.loop.Trainer``),
     and XLA inserts the gradient all-reduces."""
     step = make_train_step(
-        g_model, d_model, hps, accum_steps=accum_steps, remat=remat
+        g_model, d_model, hps,
+        accum_steps=accum_steps, remat=remat, sp_spec=sp_spec,
     )
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)

@@ -24,6 +24,39 @@ DEFAULT_CACHE_DIR = os.path.join(
 )
 
 
+def relay_alive() -> bool:
+    """On axon loopback attaches, every device op futex-waits forever if
+    the tunnel relay process (``.tpu_init.py``) has died — detect that
+    without touching the device.  Returns True when not on a
+    loopback-relay attach (nothing to check) or when the relay is up.
+    See CLAUDE.md operational findings: the relay cannot be restarted from
+    inside the VM, so the only useful behavior is failing fast."""
+    if os.environ.get("PALLAS_AXON_POOL_IPS") != "127.0.0.1":
+        return True  # not a loopback-relay attach
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["ps", "-eo", "cmd"], capture_output=True, text=True, timeout=10
+        ).stdout
+        return ".tpu_init.py" in out
+    except Exception:
+        return True  # can't tell — proceed normally
+
+
+def require_tpu_reachable() -> None:
+    """Fail fast (SystemExit 1) instead of futex-hanging when the TPU
+    tunnel relay is dead.  Call at the top of every TPU-touching CLI,
+    before the first device op."""
+    if not relay_alive():
+        raise SystemExit(
+            "axon loopback relay (.tpu_init.py) is not running — the TPU "
+            "is unreachable from this VM and every device op would hang "
+            "forever; restart the attach, or run CPU-side tools with "
+            "`env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu`"
+        )
+
+
 def enable_compilation_cache(cache_dir: str = None) -> str:
     """Turn on the persistent compilation cache (idempotent)."""
     cache_dir = cache_dir or os.environ.get(

@@ -368,3 +368,145 @@ class TestShardedTrainStep:
         with mesh8:
             got = np.asarray(maximum_path(neg_s, tl_s, sl_s))
         np.testing.assert_array_equal(got, want)
+
+
+class TestSequenceParallel:
+    """Sequence parallelism (parallel/sp.py): frame/sample axis sharded over
+    the `model` axis must be numerically transparent — same gradients as the
+    single-device step.  GSPMD owns the halo exchanges at conv boundaries;
+    the step pins one anchor constraint on the derived spectrogram plus the
+    segment-phase batch re-pin (train/step.py ``_constrain_seg``)."""
+
+    @pytest.fixture(scope="class")
+    def mesh8_sp(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return create_mesh({"data": 2, "model": 4})
+
+    @pytest.fixture(scope="class")
+    def sp_case(self):
+        """Tiny GAN models + a real batch, shared across the SP tests."""
+        from personalized_text_to_speech_tpu.models.discriminator import (
+            MultiPeriodDiscriminator,
+        )
+        from personalized_text_to_speech_tpu.train.step import Batch
+        from tests.test_model import tiny_model
+        from tests.test_train import HOP, tiny_hps
+
+        hps = tiny_hps()
+        g_model = tiny_model()
+        d_model = MultiPeriodDiscriminator(periods=(2, 3))
+
+        rng = jax.random.PRNGKey(0)
+        b, tt, ts = 4, 6, 24
+        g_params = g_model.init(
+            {"params": rng, "noise": rng, "slice": rng, "dropout": rng},
+            jnp.ones((2, tt), jnp.int32), jnp.array([6, 5]),
+            jnp.zeros((2, ts, 33)), jnp.array([24, 20]), jnp.array([0, 1]),
+        )["params"]
+        wav0 = jnp.zeros((2, 8 * HOP))
+        d_params = d_model.init(rng, wav0, wav0)["params"]
+
+        rng_np = np.random.default_rng(5)
+        t = np.linspace(0, 8, ts * HOP)
+        wav_data = np.stack(
+            [0.5 * np.sin(2 * np.pi * (18 + 5 * i) * t) for i in range(b)]
+        ).astype(np.float32)
+        batch = Batch(
+            text=jnp.asarray(rng_np.integers(1, 10, (b, tt)), jnp.int32),
+            text_lengths=jnp.asarray(
+                rng_np.integers(4, tt + 1, (b,)), jnp.int32
+            ),
+            wav=jnp.asarray(wav_data),
+            wav_lengths=jnp.asarray(
+                (rng_np.integers(ts - 6, ts + 1, (b,))) * HOP, jnp.int32
+            ),
+            sid=jnp.asarray(rng_np.integers(0, 4, (b,)), jnp.int32),
+        )
+        return hps, g_model, d_model, g_params, d_params, batch
+
+    @staticmethod
+    def _run_pair(mesh, case, **step_kwargs):
+        """Run the step single-device and SP-sharded; return both metrics."""
+        from jax.sharding import NamedSharding
+
+        from personalized_text_to_speech_tpu.parallel.sp import shard_batch_sp
+        from personalized_text_to_speech_tpu.train.state import (
+            create_train_state,
+        )
+        from personalized_text_to_speech_tpu.train.step import make_train_step
+
+        hps, g_model, d_model, g_params, d_params, batch = case
+
+        # --- single device, no constraint --------------------------------
+        step1 = jax.jit(
+            make_train_step(
+                g_model, d_model, hps, debug_grads=True, **step_kwargs
+            ),
+            donate_argnums=(),
+        )
+        g1 = create_train_state(g_model.apply, g_params, hps, 4)
+        d1 = create_train_state(d_model.apply, d_params, hps, 4)
+        _, _, m1 = step1(g1, d1, batch, jax.random.PRNGKey(100))
+
+        # --- data=2 × model=4 mesh, wav TIME-sharded ----------------------
+        sp_spec = NamedSharding(mesh, P("data", "model", None))
+        step_sp = jax.jit(
+            make_train_step(
+                g_model, d_model, hps, debug_grads=True, sp_spec=sp_spec,
+                **step_kwargs,
+            ),
+            donate_argnums=(),
+        )
+        repl = replicated(mesh)
+        g8 = jax.device_put(
+            create_train_state(g_model.apply, g_params, hps, 4), repl
+        )
+        d8 = jax.device_put(
+            create_train_state(d_model.apply, d_params, hps, 4), repl
+        )
+        batch_sp = shard_batch_sp(batch, mesh)
+        assert batch_sp.wav.sharding.spec == P("data", "model")
+        with mesh:
+            _, _, m8 = step_sp(g8, d8, batch_sp, jax.random.PRNGKey(100))
+        return m1, m8
+
+    @staticmethod
+    def _assert_match(m1, m8):
+        for k in ("loss/g/total", "loss/d/total", "grad_norm_g", "grad_norm_d"):
+            np.testing.assert_allclose(
+                float(m1[k]), float(m8[k]), rtol=2e-4, atol=2e-4, err_msg=k
+            )
+        # this test caught a real XLA SPMD hazard once: with the segments
+        # pinned model-REPLICATED, the weight grads of disc_s's GROUPED
+        # convs came back EXACTLY ×4 (once per model shard; biases stayed
+        # exact) — _constrain_seg now shards the segment batch over
+        # (data, model) instead.  Keep the tolerance tight so any
+        # replication mis-accounting resurfaces as a failure.
+        for name, af in (("_grads_g", 2e-6), ("_grads_d", 2e-6)):
+            leaves1 = jax.tree_util.tree_leaves(m1[name])
+            leaves8 = jax.tree_util.tree_leaves(m8[name])
+            assert len(leaves1) == len(leaves8)
+            scale = max(
+                float(np.abs(np.asarray(l)).max()) for l in leaves1
+            )
+            for a, bv in zip(leaves1, leaves8):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(bv),
+                    rtol=2e-4, atol=af * max(scale, 1.0), err_msg=name,
+                )
+
+    def test_real_gan_step_sp_equals_single(self, mesh8_sp, sp_case):
+        m1, m8 = self._run_pair(mesh8_sp, sp_case)
+        self._assert_match(m1, m8)
+
+    def test_sp_accum_equals_single(self, mesh8_sp, sp_case):
+        """SP composes with gradient accumulation: the two-phase microbatch
+        scan re-derives the spectrogram per micro and re-applies both SP
+        pins inside the scan body (train/step.py phase1/phase2) —
+        deterministic=True because dropout masks are the intended
+        fused-vs-accum divergence (tests/test_train_accum.py)."""
+        m1, m8 = self._run_pair(
+            mesh8_sp, sp_case, accum_steps=2, deterministic=True
+        )
+        self._assert_match(m1, m8)

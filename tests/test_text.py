@@ -671,3 +671,104 @@ class TestEnglishFallbackAccuracy:
         for word, _, resolver in self._goldens():
             if resolver == "morph":
                 assert english._morph_word(word) is not None, word
+
+
+class TestHeteronyms:
+    """Context-dependent readings the reference CANNOT produce: eng_to_ipa
+    resolves words context-free (reference text/english.py:160-166), so
+    "tear the page" and "shed a tear" get the same IPA there.  Our
+    `_resolve_heteronym` (text/english.py) picks the reading from clause-
+    local word context; each golden below pins one cue rule.  Outputs are
+    checked post-`english_to_ipa2` (ɹ/dʒ conventions)."""
+
+    # (sentence, required IPA substring)
+    GOLDENS = [
+        # read: past-tense cue from perfect/passive auxiliaries
+        ("I have read the book.", "ɹɛd"),
+        ("I will read the book.", "ɹid"),
+        # live: attributive/predicative adjective vs verb
+        ("They live in Tokyo.", " lɪv "),
+        ("The live concert was great.", "laɪv"),
+        ("The site is live now.", "laɪv"),
+        # lives: plural-of-life after determiner, else 3sg verb
+        ("Their lives changed.", "laɪvz"),
+        ("She lives in Kyoto.", "lɪvz"),
+        # wind/wound: particle and subject-pronoun cues
+        ("A strong wind blew.", "wɪnd"),
+        ("Wind up the clock.", "waɪnd"),
+        ("He wound the rope around.", "waʊnd"),
+        ("The wound healed.", "wund"),
+        # tear(s): verb-object vs noun
+        ("He shed a tear.", "tɪɹ"),
+        ("Don't tear the page.", "tɛɹ"),
+        ("She was in tears.", "tɪɹz"),
+        ("He tears down walls.", "tɛɹz"),
+        # lead: metal-compound next-word cue
+        ("The lead singer.", "lid"),
+        ("A lead pipe.", "lɛd"),
+        # close: verb-object vs adjective
+        ("Close the door.", "kloʊz"),
+        ("We are close to the goal.", "kloʊs"),
+        ("The store closed early.", "kloʊzd"),
+        # use(d): noun after determiner; habitual "used to"
+        ("The use of force.", "jus "),
+        ("Use the tool.", "juz "),
+        ("I used to walk here.", "just tu"),
+        ("It is used to measure.", "juzd tu"),
+        # stress-shift noun/verb pairs (generic det/modal cues, incl. one
+        # intervening modifier via prev2)
+        ("Set a record time.", "ˈɹɛkəɹd"),
+        ("We will record the call.", "ɹɪˈkɔɹd"),
+        ("We will quickly record it.", "ɹɪˈkɔɹd"),
+        ("A birthday present.", "ˈpɹɛzənt"),
+        ("They will present the results.", "pɹiˈzɛnt"),
+        ("The object is heavy.", "ˈɑbdʒɛkt"),
+        ("I must object to that.", "əbˈdʒɛkt"),
+        ("The project failed.", "ˈpɹɑdʒɛkt"),
+        ("We project growth.", "pɹəˈdʒɛkt"),
+        ("Fresh produce.", "pɹoʊdus"),
+        ("They produce cars.", "pɹəˈdus"),
+        ("A parking permit.", "ˈpəɹˌmɪt"),
+        ("We cannot permit this.", "pəɹˈmɪt"),
+        ("The new contract was signed.", "ˈkɑnˌtɹækt"),
+        ("Prices increase daily.", "ɪnˈkɹis"),
+        ("A big increase in sales.", "ˈɪnˌkɹis"),
+        ("The desert is hot.", "ˈdɛzəɹt"),
+        ("Don't desert me.", "dɪˈzəɹt"),
+        ("I refuse to go.", "ɹɪˈfjuz"),
+        ("The refuse pile.", "ˈɹɛfˌjus"),
+        ("The content of the file.", "ˈkɑntɛnt"),
+        # segmental odd pairs
+        ("He took a deep bow.", "baʊ"),
+        ("A bow and arrow.", "boʊ"),
+        ("She dove into the pool.", "doʊv"),
+        ("A white dove flew.", "dəv"),
+        # context must not cross a clause boundary
+        ("He left with a tear. Up next is the news.", "tɪɹ"),
+    ]
+
+    def test_goldens(self):
+        from personalized_text_to_speech_tpu.text.english import (
+            english_to_ipa2,
+        )
+
+        fails = []
+        for sentence, want in self.GOLDENS:
+            got = english_to_ipa2(sentence)
+            if want not in got:
+                fails.append((sentence, want, got))
+        assert not fails, fails
+
+    def test_default_reading_without_cue_matches_lexicon(self):
+        # with no contextual cue the heteronym layer must reproduce the
+        # context-free lexicon reading, so sentences that never tripped a
+        # cue are byte-identical with and without the layer
+        from personalized_text_to_speech_tpu.text import english
+
+        for word, default in [
+            ("record", "ˈrɛkərd"), ("present", "ˈprɛzənt"),
+            ("object", "ˈɑbʤɛkt"), ("use", "juz"), ("close", "kloʊs"),
+            ("read", "rid"), ("live", "lɪv"), ("wind", "wɪnd"),
+            ("lead", "lid"),
+        ]:
+            assert english._resolve_heteronym(word, "", "") == default, word

@@ -69,6 +69,33 @@ class TestTrainer:
         assert any(np.abs(np.asarray(l)).sum() > 0 for l in mu_leaves
                    if hasattr(l, "shape") and getattr(l, "size", 0) > 0)
 
+    def test_fit_sequence_parallel(self, training_setup, monkeypatch, tmp_path):
+        """End-to-end Trainer wiring for `tpu.sp: true`: data=2 × model=4
+        mesh, frame axis time-sharded (parallel/sp.py), params replicated
+        (the TP branch must NOT fire — sp and tp are exclusive users of the
+        `model` axis)."""
+        import copy
+
+        from personalized_text_to_speech_tpu.train.loop import Trainer
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        hps, _ = training_setup
+        hps = copy.deepcopy(hps)
+        hps.tpu["mesh"] = {"data": 2, "model": 4}
+        hps.tpu["sp"] = True
+        monkeypatch.setattr(Trainer, "evaluate", lambda self: None)
+
+        trainer = Trainer(hps, str(tmp_path / "sp_run"))
+        assert trainer._sp
+        # params stayed replicated: every leaf's sharding spec is empty
+        leaf = jax.tree_util.tree_leaves(trainer.g_state.params)[0]
+        assert all(s is None for s in leaf.sharding.spec)
+        trainer.fit(max_epochs=1)
+        assert trainer.global_step >= 1
+        for l in jax.tree_util.tree_leaves(trainer.g_state.params):
+            assert np.isfinite(np.asarray(l)).all()
+
     def test_pretrained_pth_loading(self, training_setup, monkeypatch, tmp_path):
         from personalized_text_to_speech_tpu.train.loop import Trainer
         from personalized_text_to_speech_tpu.utils import torch_compat as tc

@@ -168,3 +168,64 @@ class TestConverterCli:
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+class TestRelayFailFast:
+    """utils/runtime.relay_alive / require_tpu_reachable: TPU-touching CLIs
+    must fail fast instead of futex-hanging forever when the axon loopback
+    relay (.tpu_init.py) has died (CLAUDE.md operational findings)."""
+
+    def test_not_a_loopback_attach_passes(self, monkeypatch):
+        from personalized_text_to_speech_tpu.utils import runtime
+
+        monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+        assert runtime.relay_alive()
+        runtime.require_tpu_reachable()  # no-op
+
+    def test_dead_relay_raises_system_exit(self, monkeypatch):
+        import subprocess as sp
+
+        from personalized_text_to_speech_tpu.utils import runtime
+
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+
+        class FakeDone:
+            stdout = "bash\npython unrelated.py\n"
+
+        monkeypatch.setattr(sp, "run", lambda *a, **k: FakeDone())
+        assert not runtime.relay_alive()
+        with pytest.raises(SystemExit, match="relay"):
+            runtime.require_tpu_reachable()
+
+    def test_live_relay_passes(self, monkeypatch):
+        import subprocess as sp
+
+        from personalized_text_to_speech_tpu.utils import runtime
+
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+
+        class FakeDone:
+            stdout = "python3 -u /root/.tpu_init.py\n"
+
+        monkeypatch.setattr(sp, "run", lambda *a, **k: FakeDone())
+        assert runtime.relay_alive()
+        runtime.require_tpu_reachable()
+
+    def test_cli_exits_fast_under_dead_relay(self, tmp_path):
+        """End-to-end: a TPU CLI invoked under a dead-relay env exits ~1 s
+        with the diagnostic instead of hanging (guard runs before any
+        device op).  `ps` in the child shows no .tpu_init.py because none
+        runs inside this sandboxed test env — exactly the dead-relay
+        condition."""
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools/bench_cost.py")],
+            capture_output=True, text=True, env=env, timeout=120,
+        )
+        assert r.returncode == 1
+        assert "relay" in r.stderr

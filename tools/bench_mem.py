@@ -36,6 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    # fail fast instead of futex-hanging when the TPU tunnel relay is
+    # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
+    from personalized_text_to_speech_tpu.utils.runtime import (
+        require_tpu_reachable,
+    )
+
+    require_tpu_reachable()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=400,

@@ -43,6 +43,13 @@ SENTENCES = [
 
 
 def main():
+    # fail fast instead of futex-hanging when the TPU tunnel relay is
+    # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
+    from personalized_text_to_speech_tpu.utils.runtime import (
+        require_tpu_reachable,
+    )
+
+    require_tpu_reachable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--duration", type=float, default=20.0)

@@ -26,6 +26,13 @@ LONG_SENTENCE = (
 
 
 def main():
+    # fail fast instead of futex-hanging when the TPU tunnel relay is
+    # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
+    from personalized_text_to_speech_tpu.utils.runtime import (
+        require_tpu_reachable,
+    )
+
+    require_tpu_reachable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=9)
     ap.add_argument("--chunk_frames", type=int, default=96)

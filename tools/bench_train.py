@@ -109,6 +109,13 @@ def build_step(batch, frames, tokens=128, dtype="bfloat16", seed=0):
 
 
 def main():
+    # fail fast instead of futex-hanging when the TPU tunnel relay is
+    # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
+    from personalized_text_to_speech_tpu.utils.runtime import (
+        require_tpu_reachable,
+    )
+
+    require_tpu_reachable()
     import jax
     import jax.numpy as jnp
 

@@ -11,6 +11,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    # fail fast instead of futex-hanging when the TPU tunnel relay is
+    # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
+    from personalized_text_to_speech_tpu.utils.runtime import (
+        require_tpu_reachable,
+    )
+
+    require_tpu_reachable()
     ap = argparse.ArgumentParser("Evaluate a single ref/syn wav pair")
     ap.add_argument("--ref_wav", required=True)
     ap.add_argument("--syn_wav", required=True)

@@ -36,6 +36,13 @@ def read_annotations(path):
 
 
 def main():
+    # fail fast instead of futex-hanging when the TPU tunnel relay is
+    # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
+    from personalized_text_to_speech_tpu.utils.runtime import (
+        require_tpu_reachable,
+    )
+
+    require_tpu_reachable()
     ap = argparse.ArgumentParser("Evaluate a checkpoint over an annotation set")
     ap.add_argument("--model", required=True, help=".pth or Orbax checkpoint")
     ap.add_argument("--config", required=True)

@@ -207,6 +207,13 @@ def _trace_serving(batch, logdir, stage):
 
 
 def main():
+    # fail fast instead of futex-hanging when the TPU tunnel relay is
+    # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
+    from personalized_text_to_speech_tpu.utils.runtime import (
+        require_tpu_reachable,
+    )
+
+    require_tpu_reachable()
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", choices=["train", "decode", "encode"],
                     default="train")

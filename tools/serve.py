@@ -263,6 +263,13 @@ def serve_http(eng, args):
 
 
 def main():
+    # fail fast instead of futex-hanging when the TPU tunnel relay is
+    # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
+    from personalized_text_to_speech_tpu.utils.runtime import (
+        require_tpu_reachable,
+    )
+
+    require_tpu_reachable()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", default="./G_latest.pth")
     parser.add_argument("--config_dir", default="./finetune_speaker.json")

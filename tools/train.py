@@ -57,6 +57,13 @@ def make_smoke_dataset(tmpdir: str, hps) -> None:
 
 
 def main():
+    # fail fast instead of futex-hanging when the TPU tunnel relay is
+    # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
+    from personalized_text_to_speech_tpu.utils.runtime import (
+        require_tpu_reachable,
+    )
+
+    require_tpu_reachable()
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str,
                         default="./configs/modified_finetune_speaker.json")
