@@ -8,6 +8,18 @@ post-LayerNorm residual blocks with conv-FFNs.
 The rel→abs index shuffles are the standard pad+reshape tricks (reference
 ``attentions.py:214-243``); they are pure reshapes, which XLA lowers to
 layout changes — no gathers.
+
+Unlike the reference, the windowed rel-pos bias is computed *banded*: the
+reference zero-pads the (2·window+1)-row embedding table to 2L−1 rows
+(reference ``attentions.py:199-212``) and contracts q against all 2L−1
+rows, materialising [B, H, L, 2L−1] intermediates of which only the
+±window band is non-zero.  Here the contraction stays at the table's true
+K = 2·window+1 rows ([B, H, L, K]) and a pad+reshape band↔full shuffle
+places the band into the [L, L] score matrix — (2L−1)/K ≈ 44× fewer
+rel-pos FLOPs and bytes at L = 200, K = 9, with bitwise-identical results
+(the dropped terms are exact zeros).  The reference-shaped 2L−1 path is
+kept for L < 2·window+1 (where the shuffle's row-width precondition
+L ≥ 2·window fails) and as the exactness oracle in tests.
 """
 
 from __future__ import annotations
@@ -44,6 +56,46 @@ def _absolute_to_relative(x: jnp.ndarray) -> jnp.ndarray:
     return x_flat.reshape(b, h, l, 2 * l)[:, :, :, 1:]
 
 
+def _band_to_full(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[B, H, L, K] banded rel-pos values → [B, H, L, L] absolute, where
+    ``out[t, s] = x[t, s − t + window]`` for |s − t| ≤ window else 0.
+
+    Pure pad+flatten+shift+reshape (no gather): padding each row to width
+    L+1 makes the per-row start stride exceed the row length by exactly
+    one, so a constant left-shift of ``window`` lands every band element on
+    its absolute column.  Requires K = 2·window+1 ≤ L+1 (callers guard
+    with L ≥ 2·window); out-of-range band slots are masked to zero first
+    so the shift cannot smear them into neighbouring rows.
+    """
+    b, h, l, k = x.shape
+    t_idx = jnp.arange(l)[:, None]
+    k_idx = jnp.arange(k)[None, :]
+    s_idx = t_idx + k_idx - window
+    x = jnp.where((s_idx >= 0) & (s_idx < l), x, 0.0)
+    x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, l + 1 - k)])
+    x_flat = x.reshape(b, h, l * (l + 1))
+    x_flat = jnp.pad(x_flat[:, :, window:], [(0, 0), (0, 0), (0, window)])
+    return x_flat[:, :, : l * l].reshape(b, h, l, l)
+
+
+def _full_to_band(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[B, H, L, L] attention weights → [B, H, L, K] band, where
+    ``out[t, k] = x[t, t + k − window]`` for valid columns else 0.
+
+    Inverse shuffle of :func:`_band_to_full` (same L ≥ 2·window
+    precondition): mask to the band, right-shift the flattened matrix by
+    ``window``, and re-read it with row stride L+1 so column s of row t
+    appears at band slot s − t + window.
+    """
+    b, h, l, _ = x.shape
+    t_idx = jnp.arange(l)[:, None]
+    s_idx = jnp.arange(l)[None, :]
+    x = jnp.where(jnp.abs(s_idx - t_idx) <= window, x, 0.0)
+    x_flat = x.reshape(b, h, l * l)
+    x_flat = jnp.pad(x_flat, [(0, 0), (0, 0), (window, l - window)])
+    return x_flat.reshape(b, h, l, l + 1)[:, :, :, : 2 * window + 1]
+
+
 class MultiHeadAttention(nn.Module):
     """Self/cross attention with optional windowed relative-position bias
     (reference ``attentions.py:101-254``)."""
@@ -55,6 +107,7 @@ class MultiHeadAttention(nn.Module):
     window_size: Optional[int] = None
     heads_share: bool = True
     proximal_bias: bool = False
+    banded_rel: bool = True  # False forces the reference-shaped 2T-1 path (test oracle)
     dtype: Dtype = jnp.float32
 
     def _rel_embeddings(self, emb: jnp.ndarray, length: int) -> jnp.ndarray:
@@ -106,14 +159,26 @@ class MultiHeadAttention(nn.Module):
                 lambda key, shape: jax.random.normal(key, shape) * rel_stddev,
                 (n_heads_rel, 2 * self.window_size + 1, k_channels),
             )
-            key_rel = self._rel_embeddings(emb_rel_k, t_s)  # [1|H, 2T-1, Dk]
-            rel_logits = jnp.einsum(
-                "bhtd,gmd->bhtm",
-                q * scale,
-                key_rel,
-                preferred_element_type=jnp.float32,
-            )
-            scores = scores + _relative_to_absolute(rel_logits)
+            use_band = self.banded_rel and t_s >= 2 * self.window_size + 1
+            if use_band:
+                # Contract against the true K-row table and band-shuffle —
+                # identical math, (2T-1)/K fewer FLOPs/bytes (see module doc).
+                rel_band = jnp.einsum(
+                    "bhtd,gkd->bhtk",
+                    q * scale,
+                    emb_rel_k,
+                    preferred_element_type=jnp.float32,
+                )
+                scores = scores + _band_to_full(rel_band, self.window_size)
+            else:
+                key_rel = self._rel_embeddings(emb_rel_k, t_s)  # [1|H, 2T-1, Dk]
+                rel_logits = jnp.einsum(
+                    "bhtd,gmd->bhtm",
+                    q * scale,
+                    key_rel,
+                    preferred_element_type=jnp.float32,
+                )
+                scores = scores + _relative_to_absolute(rel_logits)
 
         if self.proximal_bias:
             r = jnp.arange(t_s, dtype=jnp.float32)
@@ -132,14 +197,23 @@ class MultiHeadAttention(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if self.window_size is not None:
-            rel_weights = _absolute_to_relative(p_attn)
-            value_rel = self._rel_embeddings(emb_rel_v, t_s)
-            output = output + jnp.einsum(
-                "bhtm,gmd->bhtd",
-                rel_weights.astype(self.dtype),
-                value_rel,
-                preferred_element_type=jnp.float32,
-            )
+            if use_band:
+                band_weights = _full_to_band(p_attn, self.window_size)
+                output = output + jnp.einsum(
+                    "bhtk,gkd->bhtd",
+                    band_weights.astype(self.dtype),
+                    emb_rel_v,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                rel_weights = _absolute_to_relative(p_attn)
+                value_rel = self._rel_embeddings(emb_rel_v, t_s)
+                output = output + jnp.einsum(
+                    "bhtm,gmd->bhtd",
+                    rel_weights.astype(self.dtype),
+                    value_rel,
+                    preferred_element_type=jnp.float32,
+                )
 
         output = output.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
         return Conv1d(

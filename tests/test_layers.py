@@ -175,6 +175,66 @@ class TestRelPosition:
         back = _np(_absolute_to_relative(jnp.asarray(absmat)))
         np.testing.assert_array_equal(back, rel)
 
+    @pytest.mark.parametrize("l,w", [(9, 4), (10, 4), (32, 4), (200, 4), (3, 1)])
+    def test_band_shuffles_match_index_oracle(self, l, w):
+        from personalized_text_to_speech_tpu.models.attention import (
+            _band_to_full,
+            _full_to_band,
+        )
+
+        rng = np.random.default_rng(7)
+        k = 2 * w + 1
+        band = rng.normal(size=(2, 3, l, k)).astype(np.float32)
+        full = _np(_band_to_full(jnp.asarray(band), w))
+        ref = np.zeros((2, 3, l, l), np.float32)
+        for t in range(l):
+            for j in range(k):
+                s = t + j - w
+                if 0 <= s < l:
+                    ref[:, :, t, s] = band[:, :, t, j]
+        np.testing.assert_array_equal(full, ref)
+
+        p = rng.normal(size=(2, 3, l, l)).astype(np.float32)
+        got = _np(_full_to_band(jnp.asarray(p), w))
+        refb = np.zeros((2, 3, l, k), np.float32)
+        for t in range(l):
+            for j in range(k):
+                s = t + j - w
+                if 0 <= s < l:
+                    refb[:, :, t, j] = p[:, :, t, s]
+        np.testing.assert_array_equal(got, refb)
+
+    @pytest.mark.parametrize("t_len", [9, 16, 64])
+    @pytest.mark.parametrize("heads_share", [True, False])
+    def test_banded_attention_matches_reference_path(self, t_len, heads_share):
+        # The banded rel-pos path must reproduce the reference-shaped
+        # 2T-1 path (reference attentions.py:199-243) to fp accumulation
+        # noise, for outputs AND parameter gradients.
+        from personalized_text_to_speech_tpu.models.attention import (
+            MultiHeadAttention,
+        )
+
+        rng = np.random.default_rng(11)
+        new = MultiHeadAttention(64, 64, 2, window_size=4,
+                                 heads_share=heads_share)
+        old = MultiHeadAttention(64, 64, 2, window_size=4,
+                                 heads_share=heads_share, banded_rel=False)
+        x = jnp.asarray(rng.normal(size=(2, t_len, 64)).astype(np.float32))
+        mask = jnp.ones((2, 1, t_len, t_len), np.float32)
+        mask = mask.at[1, :, :, max(1, t_len * 3 // 4):].set(0)
+        params = new.init(jax.random.PRNGKey(0), x, x, mask)
+
+        o_new = _np(new.apply(params, x, x, mask))
+        o_old = _np(old.apply(params, x, x, mask))
+        np.testing.assert_allclose(o_new, o_old, atol=1e-5)
+
+        g_new = jax.grad(
+            lambda p: jnp.sum(jnp.sin(new.apply(p, x, x, mask))))(params)
+        g_old = jax.grad(
+            lambda p: jnp.sum(jnp.sin(old.apply(p, x, x, mask))))(params)
+        for a, b in zip(jax.tree.leaves(g_new), jax.tree.leaves(g_old)):
+            np.testing.assert_allclose(_np(a), _np(b), atol=1e-4)
+
 
 class TestFlows:
     def test_elementwise_affine_invertible(self):
