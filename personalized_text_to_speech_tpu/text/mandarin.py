@@ -22,6 +22,7 @@ A ``pinyin_to_ipa()`` entry point also accepts tone-numbered pinyin directly
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Optional
 
@@ -322,22 +323,124 @@ def _word_to_bopomofo(word: str) -> List[str]:
     return out
 
 
-def chinese_to_bopomofo(text: str) -> str:
+# --------------------------------------------------------------------------
+# Mandarin tone sandhi (opt-in, beyond the reference)
+#
+# The reference's pipeline is plain ``lazy_pinyin`` (reference
+# ``mandarin.py:248``), which applies NO tone sandhi — 不是 comes out
+# bu4shi4, 你好 ni3hao3.  Real Mandarin speech says bu2shi4 / ni2hao3.
+# Because retrofitting sandhi changes the emitted symbol sequence (and so
+# breaks byte-parity with reference-trained checkpoints), it ships gated:
+# off by default, enabled per call (``tone_sandhi=True``), globally
+# (``set_tone_sandhi(True)``) or via ``PTTS_ZH_SANDHI=1``.
+# --------------------------------------------------------------------------
+
+_TONE_CHARS = "ˉˊˇˋ˙"
+
+_tone_sandhi_enabled = os.environ.get(
+    "PTTS_ZH_SANDHI", "0"
+).lower() not in ("0", "", "false", "no")
+
+
+def set_tone_sandhi(enabled: bool) -> None:
+    """Globally enable/disable Mandarin tone sandhi (default: off)."""
+    global _tone_sandhi_enabled
+    _tone_sandhi_enabled = bool(enabled)
+
+
+def _syllable_tone(syll: str) -> Optional[str]:
+    return syll[-1] if syll and syll[-1] in _TONE_CHARS else None
+
+
+def _retone(syll: str, mark: str) -> str:
+    return syll[:-1] + mark if _syllable_tone(syll) else syll
+
+
+def _apply_tone_sandhi(run: List[List]) -> None:
+    """Apply standard Mandarin tone sandhi to a run of adjacent hanzi words.
+
+    ``run`` is a list of ``[word, sylls]`` pairs (mutated in place), with no
+    intervening punctuation.  Rules:
+
+    * third-tone chains: a 3rd tone directly before another 3rd tone becomes
+      2nd, left-to-right against original tones (3-3-3 → 2-2-3), within and
+      across word boundaries;
+    * 不 before a 4th tone → 2nd (不是 bu2shi4);
+    * 一: ordinal after 第 stays 1st; between a reduplicated pair (看一看)
+      → neutral; before a 4th tone → 2nd (一个 yi2ge4); before tones 1-3
+      → 4th (一天 yi4tian1).
+    """
+    flat: List[tuple] = []  # (sylls_list, index_within, hanzi_char_or_None)
+    for word, sylls in run:
+        chars = list(word) if len(word) == len(sylls) else [None] * len(sylls)
+        for k, ch in enumerate(chars):
+            flat.append((sylls, k, ch))
+
+    # third-tone chains (reads the not-yet-modified right neighbour, so a
+    # maximal chain resolves to 2...2-3)
+    for i in range(len(flat) - 1):
+        s, k, _ = flat[i]
+        ns, nk, _ = flat[i + 1]
+        if _syllable_tone(s[k]) == "ˇ" and _syllable_tone(ns[nk]) == "ˇ":
+            s[k] = _retone(s[k], "ˊ")
+
+    for i, (s, k, ch) in enumerate(flat):
+        if ch not in ("不", "一"):
+            continue
+        nxt = flat[i + 1] if i + 1 < len(flat) else None
+        prv = flat[i - 1] if i > 0 else None
+        next_tone = _syllable_tone(nxt[0][nxt[1]]) if nxt else None
+        if ch == "不":
+            if next_tone == "ˋ":
+                s[k] = _retone(s[k], "ˊ")
+        else:  # 一
+            prev_ch = prv[2] if prv else None
+            next_ch = nxt[2] if nxt else None
+            if prev_ch == "第":
+                continue
+            if prev_ch == "一" or next_ch == "一":
+                continue  # 一一 (one-by-one) keeps both 1st tones
+            if prev_ch is not None and prev_ch == next_ch:
+                s[k] = _retone(s[k], "˙")
+            elif next_tone == "ˋ":
+                s[k] = _retone(s[k], "ˊ")
+            elif next_tone in ("ˉ", "ˊ", "ˇ"):
+                s[k] = _retone(s[k], "ˋ")
+
+
+def chinese_to_bopomofo(text: str, tone_sandhi: Optional[bool] = None) -> str:
     """Hanzi text → space-separated-per-word bopomofo (reference
     ``mandarin.py:243-257``)."""
+    if tone_sandhi is None:
+        tone_sandhi = _tone_sandhi_enabled
     text = text.replace("、", "，").replace("；", "，").replace("：", "，")
     if _jieba is not None:
         words = _jieba.lcut(text, cut_all=False)
     else:
         words = list(text)
-    out = ""
+    pieces: List = []  # str literal | [word, sylls]
     for word in words:
         if not re.search(r"[一-鿿]", word):
-            out += word
+            pieces.append(word)
+            continue
+        pieces.append([word, _word_to_bopomofo(word)])
+    if tone_sandhi:
+        run: List[List] = []
+        for p in pieces + [None]:  # sentinel flushes the last run
+            if isinstance(p, list):
+                run.append(p)
+            else:
+                if run:
+                    _apply_tone_sandhi(run)
+                run = []
+    out = ""
+    for p in pieces:
+        if isinstance(p, str):
+            out += p
             continue
         if out != "":
             out += " "
-        out += "".join(_word_to_bopomofo(word))
+        out += "".join(p[1])
     return out
 
 

@@ -772,3 +772,110 @@ class TestHeteronyms:
             ("lead", "lid"),
         ]:
             assert english._resolve_heteronym(word, "", "") == default, word
+
+
+class TestFrontendFuzz:
+    """The serving boundary must never crash on arbitrary user text and must
+    only ever emit in-vocabulary ids — the reference's frontend raises on
+    unmatched tags and unknown scripts (reference text/mandarin.py,
+    VC_inference.py text_to_seq path); here malformed input degrades to
+    best-effort cleaning instead of a 500."""
+
+    def _assert_valid(self, text):
+        seq = text_to_sequence(text)
+        assert isinstance(seq, list)
+        for sid in seq:
+            assert isinstance(sid, int) and 0 <= sid < len(SYMBOLS), (text, sid)
+
+    def test_random_unicode_soup(self):
+        import random
+
+        rng = random.Random(1234)
+        planes = [
+            (0x20, 0x7E),        # ASCII
+            (0xA1, 0x2AF),       # latin supplement / IPA block
+            (0x3041, 0x30FF),    # kana
+            (0x4E00, 0x9FFF),    # CJK unified
+            (0xAC00, 0xD7A3),    # hangul syllables
+            (0x0E01, 0x0E5B),    # thai
+            (0x0900, 0x097F),    # devanagari
+            (0x1F300, 0x1F64F),  # emoji
+            (0x0, 0x1F),         # control chars
+        ]
+        tags = ["[EN]", "[ZH]", "[JA]", "[KO]", ""]
+        for i in range(60):
+            lo, hi = planes[i % len(planes)]
+            body = "".join(chr(rng.randint(lo, hi)) for _ in range(rng.randint(1, 40)))
+            tag = tags[i % len(tags)]
+            self._assert_valid(f"{tag}{body}{tag}")
+
+    def test_malformed_tags_and_edges(self):
+        for text in [
+            "",
+            " ",
+            "[EN]unclosed",
+            "closed[EN]",
+            "[EN][EN]",
+            "[ZH]中文[EN]",          # mismatched open/close
+            "[XX]no such language[XX]",
+            "[EN]" * 50,
+            "\x00\x7f퟿",
+            "🎤🔊🎶",
+            "a" * 5000,
+            "[JA]" + "あ" * 2000 + "[JA]",
+        ]:
+            self._assert_valid(text)
+
+    def test_mixed_scripts_single_span(self):
+        self._assert_valid("[EN]hello 世界 こんにちは 안녕 123 !?[EN]")
+        self._assert_valid("[ZH]hello 世界 mixed numerals 四十二 42[ZH]")
+
+
+class TestMandarinToneSandhi:
+    """Opt-in tone sandhi (mandarin.set_tone_sandhi / PTTS_ZH_SANDHI).
+
+    The reference applies no sandhi (plain lazy_pinyin, reference
+    mandarin.py:248), so the layer ships off by default; these goldens are
+    standard-Mandarin pronunciations (hand-verified)."""
+
+    # (hanzi, bopomofo with sandhi) — tones: ˉ1 ˊ2 ˇ3 ˋ4 ˙neutral
+    GOLDENS = [
+        ("不是", "ㄅㄨˊㄕˋ"),        # bu4 -> bu2 before 4th
+        ("不好", "ㄅㄨˋㄏㄠˇ"),      # unchanged before 3rd
+        ("你好", "ㄋㄧˊㄏㄠˇ"),      # 3-3 -> 2-3
+        ("我很好", "ㄨㄛˊ ㄏㄣˊ ㄏㄠˇ"),  # 3-3-3 -> 2-2-3 across words
+        ("展览馆", "ㄓㄢˊㄌㄢˊㄍㄨㄢˇ"),
+        ("一个", "ㄧˊㄍㄜˋ"),        # yi1 -> yi2 before 4th
+        ("一天", "ㄧˋㄊㄧㄢˉ"),      # yi1 -> yi4 before 1st
+        ("一年", "ㄧˋㄋㄧㄢˊ"),      # yi1 -> yi4 before 2nd
+        ("第一名", "ㄉㄧˋㄧˉㄇㄧㄥˊ"),  # ordinal stays 1st
+        ("看一看", "ㄎㄢˋㄧ˙ㄎㄢˋ"),  # V一V reduplication -> neutral
+        ("一一对应", "ㄧˉㄧˉㄉㄨㄟˋㄧㄥˉ"),  # 一一 keeps both 1st tones
+    ]
+
+    def test_goldens(self):
+        fails = []
+        for hanzi, want in self.GOLDENS:
+            got = mandarin.chinese_to_bopomofo(hanzi, tone_sandhi=True)
+            if got != want:
+                fails.append((hanzi, want, got))
+        assert not fails, fails
+
+    def test_off_by_default_preserves_reference_parity(self):
+        # default output must stay byte-identical to the no-sandhi
+        # reference pipeline
+        assert mandarin.chinese_to_bopomofo("不是你好") == "ㄅㄨˋㄕˋ ㄋㄧˇㄏㄠˇ"
+        assert mandarin.chinese_to_ipa("你好") == "ni↓↑xɑʊ↓↑"
+
+    def test_global_toggle(self):
+        mandarin.set_tone_sandhi(True)
+        try:
+            assert mandarin.chinese_to_ipa("你好") == "ni↑xɑʊ↓↑"
+        finally:
+            mandarin.set_tone_sandhi(False)
+        assert mandarin.chinese_to_ipa("你好") == "ni↓↑xɑʊ↓↑"
+
+    def test_punctuation_breaks_sandhi_context(self):
+        # 3rd tone before a comma must not change even if a 3rd tone follows
+        got = mandarin.chinese_to_bopomofo("很，好", tone_sandhi=True)
+        assert "ㄏㄣˇ" in got and "ㄏㄠˇ" in got
