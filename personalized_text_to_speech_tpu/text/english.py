@@ -966,6 +966,111 @@ _LEXICON = {
     "unit": "ˈjunɪt", "partial": "ˈpɑrʃəl",
     "decorator": "ˈdɛkəˌreɪtər", "pure": "pjʊr", "pre": "pri",
     "introduce": "ˌɪntrəˈdus",
+    # sixth tranche: round-4 continuation sweep (tools/eval_g2p.py --top 400)
+    # — common words the LTS rules mispronounce (aware→ɔoʊr, assume→eɪsəm,
+    # compare→kɑmpoʊr), remaining months/weekdays, and high-frequency
+    # technical vocabulary incl. initialisms read as letter sequences
+    "publish": "ˈpəblɪʃ", "backward": "ˈbækwərd",
+    "backwards": "ˈbækwərdz", "efficient": "ɪˈfɪʃənt",
+    "efficiency": "ɪˈfɪʃənsi", "mail": "meɪl", "obtain": "əbˈteɪn",
+    "creation": "kriˈeɪʃən", "blog": "blɑg", "sponsor": "ˈspɑnsər",
+    "consistent": "kənˈsɪstənt", "consistency": "kənˈsɪstənsi",
+    "mechanism": "ˈmɛkəˌnɪzəm", "element": "ˈɛləmənt",
+    "exponent": "ɪkˈspoʊnənt", "operand": "ˈɑpəˌrænd",
+    "marshmallow": "ˈmɑrʃˌmɛloʊ", "gymnasium": "ʤɪmˈneɪziəm",
+    "jedi": "ˈʤɛˌdaɪ", "rouge": "ruʒ",
+    "accelerator": "ækˈsɛləˌreɪtər", "logo": "ˈloʊgoʊ",
+    "capture": "ˈkæpʧər", "snippet": "ˈsnɪpɪt",
+    "tabulate": "ˈtæbjəˌleɪt", "registry": "ˈrɛʤɪstri",
+    "frozen": "ˈfroʊzən", "toolkit": "ˈtulˌkɪt", "attack": "əˈtæk",
+    "dump": "dəmp", "pen": "pɛn", "inspect": "ɪnˈspɛkt",
+    "aware": "əˈwɛr", "especially": "ɪˈspɛʃəli",
+    "therefore": "ˈðɛrˌfɔr", "else": "ɛls", "forward": "ˈfɔrwərd",
+    "label": "ˈleɪbəl", "reverse": "rɪˈvərs", "double": "ˈdəbəl",
+    "quite": "kwaɪt", "absolute": "ˈæbsəˌlut", "axes": "ˈækˌsiz",
+    "assume": "əˈsum", "compare": "kəmˈpɛr", "according": "əˈkɔrdɪŋ",
+    "yourself": "jərˈsɛlf", "whenever": "wɛˈnɛvər", "launch": "lɔnʧ",
+    "analysis": "əˈnæləsɪs", "approach": "əˈproʊʧ",
+    "comprehensive": "ˌkɑmpriˈhɛnsɪv", "relevant": "ˈrɛləvənt",
+    "production": "prəˈdəkʃən", "actual": "ˈækʧuəl",
+    "potential": "pəˈtɛnʃəl", "experiment": "ɪkˈspɛrəmənt",
+    "parallel": "ˈpɛrəˌlɛl", "semantic": "səˈmæntɪk",
+    "respectively": "rɪˈspɛktɪvli", "comparison": "kəmˈpɛrəsən",
+    "citation": "saɪˈteɪʃən", "background": "ˈbækˌgraʊnd",
+    "transform": "trænsˈfɔrm", "coordinate": "koʊˈɔrdənət",
+    "unsigned": "ənˈsaɪnd", "authentication": "ɔˌθɛntəˈkeɪʃən",
+    "identical": "aɪˈdɛntɪkəl", "outside": "ˌaʊtˈsaɪd",
+    "architecture": "ˈɑrkəˌtɛkʧər", "fuzzy": "ˈfəzi",
+    "alpha": "ˈælfə", "comma": "ˈkɑmə", "vulnerable": "ˈvəlnərəbəl",
+    "cant": "kænt", "switch": "swɪʧ",
+    "professional": "prəˈfɛʃənəl", "relative": "ˈrɛlətɪv",
+    "hint": "hɪnt", "frame": "freɪm", "incorrect": "ˌɪnkəˈrɛkt",
+    "prefer": "prɪˈfər", "iteration": "ˌɪtəˈreɪʃən",
+    "blank": "blæŋk", "constant": "ˈkɑnstənt",
+    "explanation": "ˌɛkspləˈneɪʃən", "crash": "kræʃ",
+    "contact": "ˈkɑnˌtækt", "extend": "ɪkˈstɛnd",
+    "collect": "kəˈlɛkt", "outline": "ˈaʊtˌlaɪn",
+    "inline": "ˈɪnˌlaɪn", "evaluate": "ɪˈvæljuˌeɪt",
+    "bucket": "ˈbəkɪt", "egg": "ɛg", "trash": "træʃ",
+    "express": "ɪkˈsprɛs", "lightweight": "ˈlaɪtˌweɪt",
+    "communication": "kəˌmjunəˈkeɪʃən", "digit": "ˈdɪʤɪt",
+    "net": "nɛt", "sometimes": "ˈsəmˌtaɪmz", "along": "əˈlɔŋ",
+    "workflow": "ˈwərkˌfloʊ", "overflow": "ˈoʊvərˌfloʊ",
+    "appropriate": "əˈproʊpriət",
+    "vulnerability": "ˌvəlnərəˈbɪlɪti", "february": "ˈfɛbjuˌɛri",
+    "march": "mɑrʧ", "april": "ˈeɪprəl", "june": "ʤun",
+    "july": "ʤʊˈlaɪ", "august": "ˈɔgəst", "september": "sɛpˈtɛmbər",
+    "october": "ɑkˈtoʊbər", "november": "noʊˈvɛmbər",
+    "december": "dɪˈsɛmbər", "tuesday": "ˈtuzˌdeɪ",
+    "wednesday": "ˈwɛnzˌdeɪ", "thursday": "ˈθərzˌdeɪ",
+    "saturday": "ˈsætərˌdeɪ", "editable": "ˈɛdɪtəbəl",
+    "generator": "ˈʤɛnəˌreɪtər", "statement": "ˈsteɪtmənt",
+    "nor": "nɔr", "upon": "əˈpɑn", "tip": "tɪp",
+    "prediction": "prɪˈdɪkʃən", "emoji": "ɪˈmoʊʤi", "rust": "rəst",
+    "colour": "ˈkələr", "publication": "ˌpəbləˈkeɪʃən",
+    "construct": "kənˈstrəkt", "unpack": "ənˈpæk",
+    "abstract": "ˈæbˌstrækt", "hypothesis": "haɪˈpɑθəsɪs",
+    "unlike": "ənˈlaɪk", "linear": "ˈlɪniər", "strip": "strɪp",
+    "feedback": "ˈfidˌbæk", "classic": "ˈklæsɪk",
+    "validator": "ˈvæləˌdeɪtər", "markup": "ˈmɑrkˌəp",
+    "reliable": "rɪˈlaɪəbəl", "min": "mɪn", "fake": "feɪk",
+    "notation": "noʊˈteɪʃən", "prune": "prun",
+    "optimize": "ˈɑptəˌmaɪz", "insertion": "ɪnˈsərʃən",
+    "correction": "kəˈrɛkʃən", "billing": "ˈbɪlɪŋ",
+    "collective": "kəˈlɛktɪv", "bootstrap": "ˈbutˌstræp",
+    "basis": "ˈbeɪsɪs", "simplify": "ˈsɪmpləˌfaɪ",
+    "convenience": "kənˈvinjəns", "capability": "ˌkeɪpəˈbɪlɪti",
+    "dynamically": "daɪˈnæmɪkli", "submit": "səbˈmɪt",
+    "retrieve": "rɪˈtriv", "overhead": "ˈoʊvərˌhɛd",
+    "unix": "ˈjunɪks", "lambda": "ˈlæmdə", "reserved": "rɪˈzərvd",
+    "cell": "sɛl", "reuse": "riˈjuz", "bound": "baʊnd",
+    "detect": "dɪˈtɛkt", "initialization": "ɪˌnɪʃələˈzeɪʃən",
+    "ecosystem": "ˈikoʊˌsɪstəm", "traceback": "ˈtreɪsˌbæk",
+    "ruff": "rəf", "stat": "stæt", "gmail": "ˈʤiˌmeɪl",
+    "discord": "ˈdɪsˌkɔrd", "chunk": "ʧəŋk",
+    "fallback": "ˈfɔlˌbæk", "workload": "ˈwərkˌloʊd",
+    "serialize": "ˈsɪriəˌlaɪz", "insensitive": "ɪnˈsɛnsɪtɪv",
+    "endpoint": "ˈɛndˌpɔɪnt", "integrate": "ˈɪntəˌgreɪt",
+    "vertical": "ˈvərtɪkəl", "horizontal": "ˌhɔrəˈzɑntəl",
+    "track": "træk", "division": "dɪˈvɪʒən",
+    "py": "paɪ", "href": "ˌeɪʧˈrɛf", "ai": "ˌeɪˈaɪ",
+    "ip": "ˌaɪˈpi", "uv": "ˌjuˈvi", "eg": "ˌiˈʤi",
+    "mit": "ˌɛmˌaɪˈti", "cli": "ˌsiˌɛlˈaɪ", "abc": "ˌeɪˌbiˈsi",
+    "ansi": "ˈænsi", "img": "ˈɪmɪʤ", "opencv": "ˌoʊpənˌsiˈvi",
+    "dtype": "ˈdiˌtaɪp", "hexdigest": "ˈhɛksˌdaɪʤɛst",
+    "codecov": "ˈkoʊdˌkɑv", "dataclass": "ˈdeɪtəˌklæs",
+    "urllib": "ˌjuˌɑrˈɛlˌlɪb", "pypy": "ˈpaɪˌpaɪ",
+    "sympy": "ˈsɪmˌpaɪ", "pygame": "ˈpaɪˌgeɪm",
+    "pydantic": "paɪˈdæntɪk", "asyncio": "eɪˈsɪŋkˌaɪˈoʊ",
+    "fonttools": "ˈfɑntˌtulz", "javascript": "ˈʤɑvəˌskrɪpt",
+    "bleu": "blu", "lora": "ˈlɔrə", "gui": "ˈgui",
+    "setuptools": "ˈsɛtˌəpˌtulz", "posix": "ˈpɑzɪks",
+    "seaborn": "ˈsiˌbɔrn", "colab": "ˈkoʊˌlæb",
+    "multiprocessing": "ˌməltiˈprɑˌsɛsɪŋ", "pretrained": "priˈtreɪnd",
+    "multimodal": "ˌməltiˈmoʊdəl", "scikit": "ˈsaɪˌkɪt",
+    "gemini": "ˈʤɛməˌnaɪ", "deepmind": "ˈdipˌmaɪnd",
+    "openmp": "ˌoʊpənˌɛmˈpi", "toml": "ˈtɑməl", "nan": "næn",
+    "pid": "ˈpɪd",
     # spelled letter names (lone letters in prose read as letter names;
     # "a" and "i" stay words — their letter readings live in _LETTER_NAMES)
     "b": "bi",
@@ -1096,8 +1201,9 @@ def _lts_word(word: str, depth: int = 0) -> str:
             len(body) >= 2 and body[-2] == body[-1]
         )
         # magic-e lengthening needs exactly ONE consonant between the last
-        # vowel and the e (mode/byte yes; since/dance/glimpse no)
-        if not (len(body) >= 2 and body[-2] in "aeiouy"):
+        # vowel and the e (mode/byte yes; since/dance/glimpse no) — and the
+        # letter x spells TWO sounds /ks/, so it blocks it too (taxed, axed)
+        if not (len(body) >= 2 and body[-2] in "aeiouy" and body[-1] != "x"):
             silent_e = False
     # end-cluster vowel corrections ("kind"→aɪnd, "soft"→ɔft), before the
     # doubled-consonant collapse so "-oss"/"-off" still see both letters

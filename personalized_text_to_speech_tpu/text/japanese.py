@@ -157,6 +157,20 @@ _ACCENT_DICT = {
     "びょういん": 3, "だいがく": 3, "めざまし": 3, "はたち": 3,
     # type 4
     "おとうと": 4, "いもうと": 4, "みなみ": 3,
+    # kinship words ending in は/へ — listed so the raw-span particle
+    # heuristic below can never rewrite their final kana
+    "はは": 1, "ちち": 1,
+    # common i-adjectives and dictionary-form verbs (high-confidence NHK
+    # accent types); these also anchor segmentation so a preceding topic
+    # は splits off and reads わ (すしはたかい → すしわ・たかい)
+    "たかい": 2, "やすい": 2, "おおきい": 3, "ちいさい": 3,
+    "あたらしい": 4, "ふるい": 2, "さむい": 2, "あつい": 2,
+    "たのしい": 3, "うれしい": 3, "ながい": 2, "はやい": 2,
+    "つよい": 2, "よわい": 2, "しろい": 2, "くろい": 2,
+    "あまい": 0, "とおい": 0, "ちかい": 2,
+    "いく": 0, "くる": 1, "たべる": 2, "のむ": 1, "みる": 1,
+    "きく": 0, "よむ": 1, "かく": 1, "はなす": 2, "あるく": 2,
+    "はしる": 2, "かう": 0,
     # demonstratives/pronouns (particle-は after these is very frequent:
     # これは/それは must read …わ)
     "これ": 0, "それ": 0, "あれ": 0, "どれ": 1,
@@ -205,6 +219,21 @@ def _particle_reading(p: str) -> str:
     return p
 
 
+def _raw_span_reading(raw: str) -> str:
+    """Particle reading for an UNMATCHED span: its final kana sits at a
+    segmentation boundary (a dictionary word or end of text follows), so a
+    span-final は/へ is almost always the topic/direction particle — read
+    わ/え (すしは→すしわ even though すし is out-of-dictionary).  Words
+    ending in these kana (はは, ちち) are protected by dictionary entries.
+    A particle *inside* an unmatched span is indistinguishable from a
+    word-internal kana without morphological analysis and is left alone."""
+    if len(raw) >= 2 and raw.endswith("は"):
+        return raw[:-1] + "わ"
+    if len(raw) >= 2 and raw.endswith("へ"):
+        return raw[:-1] + "え"
+    return raw
+
+
 def _segment_accent_phrases(hira: str) -> list:
     """Greedy longest-match split of a kana run into accent phrases: a
     dictionary word plus any attached particles/endings forms one phrase;
@@ -230,7 +259,7 @@ def _segment_accent_phrases(hira: str) -> list:
             continue
         if i > start:
             raw = hira[start:i]
-            phrases.append((raw, _accent_type(raw)))
+            phrases.append((_raw_span_reading(raw), _accent_type(raw)))
         j = i + len(hit)
         reading = hit
         while True:  # absorb trailing particles/endings
@@ -245,7 +274,7 @@ def _segment_accent_phrases(hira: str) -> list:
         i = start = j
     if start < n:
         raw = hira[start:]
-        phrases.append((raw, _accent_type(raw)))
+        phrases.append((_raw_span_reading(raw), _accent_type(raw)))
     return phrases
 
 

@@ -102,10 +102,7 @@ _REMAT_POLICIES = {
 
 
 def _wrap_remat(fn, remat: str):
-    if remat not in _REMAT_POLICIES:
-        raise ValueError(
-            f"remat must be one of {sorted(_REMAT_POLICIES)}, got {remat!r}"
-        )
+    # validity is checked once at build time in make_train_step
     if remat == "none":
         return fn
     policy = getattr(jax.checkpoint_policies, _REMAT_POLICIES[remat])

@@ -613,13 +613,33 @@ class TestJapaneseAccentGoldens:
         ("がっこうへ", "ga↑Qkoue"),
     ]
 
-    def test_phrase_goldens(self):
+    # round-4 continuation: topic は / direction へ after OUT-OF-DICTIONARY
+    # subjects — the raw-span boundary heuristic plus the adjective/verb
+    # anchor entries (_raw_span_reading; すし/とうきょう are not in
+    # _ACCENT_DICT, たかい/いく are)
+    OOV_SUBJECT_GOLDENS = [
+        ("すしはたかい", "su↑ʃiwa ta↑ka↓i"),
+        ("とうきょうへいく", "to↑ukyoue i↑ku"),
+        ("これはあたらしい", "ko↑rewa a↑taraʃi↓i"),
+        # はは (mother) is a dictionary word: its final は must NOT be
+        # rewritten, while a particle after it still reads わ
+        ("はは", "ha↓ha"),
+        ("ははは", "ha↓hawa"),
+    ]
+
+    def _check(self, goldens):
         bad = {}
-        for phrase, want in self.GOLDENS:
+        for phrase, want in goldens:
             got = japanese.japanese_to_romaji_with_accent(phrase)
             if got != want:
                 bad[phrase] = (got, want)
         assert not bad, f"japanese accent goldens mismatched: {bad}"
+
+    def test_phrase_goldens(self):
+        self._check(self.GOLDENS)
+
+    def test_oov_subject_particles(self):
+        self._check(self.OOV_SUBJECT_GOLDENS)
 
 
 class TestEnglishFallbackAccuracy:

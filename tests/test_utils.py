@@ -220,6 +220,16 @@ class TestRelayFailFast:
         import subprocess
         import sys
 
+        # probe the host relay process directly (relay_alive() itself is
+        # env-gated and the test env clears PALLAS_AXON_POOL_IPS): with a
+        # LIVE relay the child would pass the guard and become a real
+        # TPU-claiming process inside the test suite (one-TPU-process rule)
+        ps = subprocess.run(
+            ["ps", "-eo", "cmd"], capture_output=True, text=True, timeout=10
+        ).stdout
+        if ".tpu_init.py" in ps:  # pragma: no cover - host-state dependent
+            pytest.skip("axon relay IS alive on this host")
+
         env = dict(os.environ)
         env["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -75,8 +75,9 @@ def measure_accuracy(E, verbose=False):
             f"golden '{word}' is in the lexicon — it no longer measures the "
             f"fallback path; remove it or pick another word"
         )
-        got = E._morph_word(word) or E._lts_word(word)
-        got_via = "morph" if E._morph_word(word) else "lts"
+        morphed = E._morph_word(word)
+        got = morphed or E._lts_word(word)
+        got_via = "morph" if morphed else "lts"
         total += 1
         if _strip_stress(got) == _strip_stress(gold):
             correct += 1
