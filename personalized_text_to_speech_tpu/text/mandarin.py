@@ -348,6 +348,63 @@ def set_tone_sandhi(enabled: bool) -> None:
     _tone_sandhi_enabled = bool(enabled)
 
 
+# --------------------------------------------------------------------------
+# Erhua (儿化) fusion (opt-in, beyond the reference)
+#
+# The reference reads suffix 儿 as a full ér syllable (plain lazy_pinyin:
+# 玩儿 → wan2 er2), but northern-Mandarin speech fuses it into the previous
+# syllable's rime (玩儿 wár, 一点儿 yìdiǎnr, 味儿 wèr).  Like tone sandhi
+# above, fusion changes the emitted symbol sequence, so it ships gated:
+# off by default, per call (``erhua=True``), globally (``set_erhua(True)``)
+# or via ``PTTS_ZH_ERHUA=1``.
+# --------------------------------------------------------------------------
+
+_erhua_enabled = os.environ.get(
+    "PTTS_ZH_ERHUA", "0"
+).lower() not in ("0", "", "false", "no")
+
+
+def set_erhua(enabled: bool) -> None:
+    """Globally enable/disable erhua (儿化) fusion (default: off)."""
+    global _erhua_enabled
+    _erhua_enabled = bool(enabled)
+
+
+# words whose final 儿 is a real ér syllable, never the erhua suffix
+_ERHUA_EXCEPTIONS = frozenset({
+    "女儿", "婴儿", "幼儿", "孤儿", "男儿", "健儿", "少儿", "宠儿",
+    "育儿", "托儿", "胎儿", "新生儿", "混血儿", "儿儿",
+})
+
+_APICAL_INITIALS = "ㄓㄔㄕㄖㄗㄘㄙ"
+
+
+def _erhua_fuse(sylls: List[str]) -> None:
+    """Fuse the trailing ㄦ syllable into the previous one (in place).
+
+    Standard Beijing coda rules on the bopomofo rime: -ai/-an → -ar,
+    -ei/-en → -er, -ang → nasality dropped → -ar, -eng/-ing/-ong → ŋ
+    dropped, apical rimes (zhi/zi …) and bare -i/-ü gain a schwa.  The
+    fused vowel+ㄦ digraphs are converted by dedicated rows at the head of
+    the IPA/romaji tables (they cannot occur in un-fused text, where ㄦ
+    only ever starts a syllable)."""
+    base = sylls[-2]
+    tone = base[-1] if base and base[-1] in _TONE_CHARS else ""
+    body = base[:-1] if tone else base
+    if body.endswith(("ㄞ", "ㄢ", "ㄤ")):
+        body = body[:-1] + "ㄚ"
+    elif body.endswith(("ㄟ", "ㄣ")):
+        body = body[:-1] + "ㄜ"
+    elif body.endswith("ㄥ"):
+        body = body[:-1]
+        if not body.endswith(("ㄧ", "ㄨ", "ㄩ")):
+            body += "ㄜ"
+    elif body and body[-1] in _APICAL_INITIALS:
+        body += "ㄜ"
+    sylls[-2] = body + "ㄦ" + tone
+    del sylls[-1]
+
+
 def _syllable_tone(syll: str) -> Optional[str]:
     return syll[-1] if syll and syll[-1] in _TONE_CHARS else None
 
@@ -408,11 +465,17 @@ def _apply_tone_sandhi(run: List[List]) -> None:
                 s[k] = _retone(s[k], "ˋ")
 
 
-def chinese_to_bopomofo(text: str, tone_sandhi: Optional[bool] = None) -> str:
+def chinese_to_bopomofo(
+    text: str,
+    tone_sandhi: Optional[bool] = None,
+    erhua: Optional[bool] = None,
+) -> str:
     """Hanzi text → space-separated-per-word bopomofo (reference
     ``mandarin.py:243-257``)."""
     if tone_sandhi is None:
         tone_sandhi = _tone_sandhi_enabled
+    if erhua is None:
+        erhua = _erhua_enabled
     text = text.replace("、", "，").replace("；", "，").replace("：", "，")
     if _jieba is not None:
         words = _jieba.lcut(text, cut_all=False)
@@ -433,6 +496,17 @@ def chinese_to_bopomofo(text: str, tone_sandhi: Optional[bool] = None) -> str:
                 if run:
                     _apply_tone_sandhi(run)
                 run = []
+    if erhua:  # after sandhi: fusion collapses the syllable/char pairing
+        for p in pieces:
+            if (
+                isinstance(p, list)
+                and len(p[0]) >= 2
+                and p[0].endswith("儿")
+                and p[0] not in _ERHUA_EXCEPTIONS
+                and len(p[1]) == len(p[0])
+                and p[1][-1].startswith("ㄦ")
+            ):
+                _erhua_fuse(p[1])
     out = ""
     for p in pieces:
         if isinstance(p, str):
@@ -473,6 +547,11 @@ def latin_to_bopomofo(text: str) -> str:
 # --------------------------------------------------------------------------
 
 _BOPOMOFO_TO_IPA = [
+    # erhua digraphs first (produced only by _erhua_fuse; in un-fused text
+    # ㄦ never follows a vowel letter, so these rows are inert otherwise)
+    ("ㄚㄦ", "aɻ"), ("ㄛㄦ", "oɻ"), ("ㄜㄦ", "əɻ"), ("ㄝㄦ", "ɛɻ"),
+    ("ㄨㄦ", "uɻ"), ("ㄧㄦ", "iəɻ"), ("ㄩㄦ", "ɥəɻ"),
+    ("ㄡㄦ", "oʊɻ"), ("ㄠㄦ", "ɑʊɻ"),
     ("ㄅㄛ", "p⁼wo"), ("ㄆㄛ", "pʰwo"), ("ㄇㄛ", "mwo"), ("ㄈㄛ", "fwo"),
     ("ㄧㄢ", "jɛn"), ("ㄩㄢ", "ɥæn"), ("ㄧㄣ", "in"), ("ㄩㄣ", "ɥn"),
     ("ㄧㄥ", "iŋ"), ("ㄨㄥ", "ʊŋ"), ("ㄩㄥ", "jʊŋ"),
@@ -490,6 +569,10 @@ _BOPOMOFO_TO_IPA = [
 
 # romaji variant used by chinese_to_romaji (reference mandarin.py:41-98)
 _BOPOMOFO_TO_ROMAJI = [
+    # erhua digraphs (see _BOPOMOFO_TO_IPA)
+    ("ㄚㄦ", "aɻ"), ("ㄛㄦ", "oɻ"), ("ㄜㄦ", "əɻ"), ("ㄝㄦ", "eɻ"),
+    ("ㄨㄦ", "uɻ"), ("ㄧㄦ", "iəɻ"), ("ㄩㄦ", "ɥəɻ"),
+    ("ㄡㄦ", "ouɻ"), ("ㄠㄦ", "auɻ"),
     ("ㄅㄛ", "p⁼wo"), ("ㄆㄛ", "pʰwo"), ("ㄇㄛ", "mwo"), ("ㄈㄛ", "fwo"),
     ("ㄧㄢ", "yeNN"), ("ㄢ", "aNN"), ("ㄧㄣ", "iNN"), ("ㄣ", "əNN"),
     ("ㄤ", "aNg"), ("ㄧㄥ", "iNg"), ("ㄨㄥ", "uNg"), ("ㄩㄥ", "yuNg"),

@@ -899,3 +899,56 @@ class TestMandarinToneSandhi:
         # 3rd tone before a comma must not change even if a 3rd tone follows
         got = mandarin.chinese_to_bopomofo("很，好", tone_sandhi=True)
         assert "ㄏㄣˇ" in got and "ㄏㄠˇ" in got
+
+
+class TestMandarinErhua:
+    """Opt-in erhua (儿化) fusion (mandarin.set_erhua / PTTS_ZH_ERHUA).
+
+    The reference reads suffix 儿 as a full ér syllable (plain lazy_pinyin,
+    reference mandarin.py:248); fusion ships off by default.  Goldens are
+    standard Beijing pronunciations through chinese_to_ipa (the
+    cjke_cleaners2 path)."""
+
+    GOLDENS = [
+        ("玩儿", "waɹ`↑"),            # -an -> -ar (wár)
+        ("一点儿", "i→t⁼jaɹ`↓↑"),     # -ian -> -iar (diǎnr)
+        ("这儿", "ts`⁼əɹ`↓"),         # -e + r (zhèr)
+        ("哪儿", "naɹ`↓↑"),           # nǎr
+        ("味儿", "wəɹ`↓"),            # -ei -> -er (wèr)
+        ("门儿", "məɹ`↑"),            # -en -> -er (mér)
+        ("花儿", "xwaɹ`→"),           # -a + r (huār)
+        ("事儿", "s`əɹ`↓"),           # apical rime gains schwa (shìr)
+        ("空儿", "kʰuɹ`→"),           # -ong -> ŋ dropped (kōngr)
+    ]
+
+    def test_goldens(self):
+        fails = []
+        for hanzi, want in self.GOLDENS:
+            mandarin.set_erhua(True)
+            try:
+                got = mandarin.chinese_to_ipa(hanzi)
+            finally:
+                mandarin.set_erhua(False)
+            if got != want:
+                fails.append((hanzi, want, got))
+        assert not fails, fails
+
+    def test_true_er_syllables_never_fuse(self):
+        mandarin.set_erhua(True)
+        try:
+            assert mandarin.chinese_to_ipa("女儿") == "nɥ↓↑əɹ`↑"
+            assert mandarin.chinese_to_ipa("儿子") == "əɹ`↑ts⁼ɹ↓↑"
+            assert "ɥæn" in mandarin.chinese_to_ipa("幼儿园")
+        finally:
+            mandarin.set_erhua(False)
+
+    def test_off_by_default_preserves_reference_parity(self):
+        assert mandarin.chinese_to_ipa("玩儿") == "wan↑əɹ`↑"
+
+    def test_composes_with_tone_sandhi(self):
+        # 一点儿: sandhi retones 一 (4th before diǎn's 3rd), then fusion
+        # rhotacizes 点 — both layers must apply
+        got = mandarin.chinese_to_bopomofo(
+            "一点儿", tone_sandhi=True, erhua=True
+        )
+        assert got == "ㄧˋㄉㄧㄚㄦˇ", got
