@@ -512,6 +512,41 @@ _ENTRIES_SUPP = """
 涓juan1 剉cuo4 颊jia2 锥zhui1 镖biao1 铮zheng1 钥yao4 署shu3 薯shu3 蜀shu3
 """
 
+# --- round-4 continuation tranche: top remaining gaps from a
+# frequency-weighted sweep of the bundled jieba dictionary (~12k distinct
+# hanzi, 100M weighted tokens; tools/eval_zh_coverage.py) — surnames,
+# common literary/technical characters, and a few traditional forms -----
+_ENTRIES_SUPP2 = """
+绵mian2 浦pu3 戈ge1 尉wei4 姚yao2 蒂di4 瑜yu2 兹zi1 毅yi4 尹yin3 谭tan2
+鳍qi2 喻yu4 禄lu4 潘pan1 樊fan2 炬ju4 募mu4 惶huang2 亨heng1 凸tu1 庐lu2
+阮ruan3 璧bi4 冀ji4 椎zhui1 阎yan2 凄qi1 炳bing3 瑟se4 泣qi4 峨e2 胺an4
+烯xi1 沧cang1 溢yi4 胚pei1 贮zhu4 恍huang3 桓huan2 敛lian3 狄di2 沽gu1
+眷juan4 涡wo1 揽lan3 弘hong2 玲ling2 迭die2 郝hao3 粟su4 歹dai3 豚tun2
+讳hui4 迦jia1 妓ji4 礁jiao1 嘲chao2 斐fei3 沛pei4 篷peng2 祁qi2 窦dou4
+槐huai2 琐suo3 稽ji1 泵beng4 澜lan2 梗geng3 昧mei4 棘ji2 曙shu3 阜fu4
+豁huo4 矢shi3 邹zou1 匣xia2 盔kui1 羌qiang1 缆lan3 抒shu1 芜wu2 汛xun4
+酚fen1 苔tai2 冥ming2 窥kui1 矶ji1 晖hui1 倪ni2 瞥pie1 缉ji1 楠nan2
+烷wan2 碾nian3 垦ken3 逍xiao1 佃dian4 梓zi3 驹ju1 嗡weng1 汹xiong1
+沅yuan2 墟xu1 娴xian2 漳zhang1 孢bao1 濒bin1 峭qiao4 殉xun4 霎sha4
+眶kuang4 靡mi3 矫jiao3 孽nie4 咚dong1 戎rong2 愕e4 啼ti2 笃du3 侣lv3
+懿yi4 吭keng1 酯zhi3 氟fu2 邱qiu1 闺gui1 奎kui2 揣chuai3 茸rong2
+棠tang2 怦peng1 晦hui4 瘫tan1 朔shuo4 渭wei4 蕾lei3 馨xin1 廖liao4
+胥xu1 丕pi1 舜shun4 鲨sha1 苟gou3 裴pei2 麟lin2 叭ba1 漓li2 毗pi2
+倭wo1 玺xi3 憎zeng1 楷kai3 柑gan1 妒du4 孜zi1 虐nve4 蒯kuai3 酰xian1
+佬lao3 蚌bang4 沁qin4 侈chi3 噶ga2 锭ding4 胧long2 琅lang2 坞wu4
+筵yan2 褶zhe3 觑qu4 酮tong2 篆zhuan4 醛quan2 唧ji1 绉zhou4 圻qi2 扼e4
+毡zhan1 簧huang2 砥di3 撬qiao4 腮sai1 慑she4 朦meng2 冉ran3 胤yin4
+攘rang3 牒die2 吱zhi1 嫔pin2 笙sheng1 碘dian3 霄xiao1 酋qiu2 灸jiu3
+矗chu4 寥liao2 庚geng1 隘ai4 秭zi3 鲸jing1 苛ke1 梵fan4 垛duo4 臀tun2
+颌he2 弩nu3 嘎ga1 俸feng4 纂zuan3 卯mao3 嗜shi4 札zha2 峙zhi4 姬ji1
+戮lu4 瓮weng4 肋lei4 壕hao2 陇long3 蟾chan2 狈bei4 嘟du1 浚jun4
+蛟jiao1 筝zheng1 铬ge4 惺xing1 兮xi1 蕊rui3 褚chu3 黛dai4 箍gu1
+匡kuang1 椁guo3 梧wu2 惮dan4 胰yi2 擎qing2 绥sui2 拗niu4 弛chi2 匿ni4
+蟠pan2 寅yin2 疹zhen3 尧yao2 悖bei4 桦hua4 黯an4 赃zang1 茵yin1
+澧li3 後hou4 簡jian3 購gou4
+瑰gui1 弧hu2 浣huan4 拙zhuo1 韬tao1 祷dao3 熄xi1 炖dun4 灞ba4
+"""
+
 _TOKEN = re.compile(r"([一-鿿])([a-z]+[1-5])")
 
 
@@ -519,7 +554,7 @@ def load_hanzi_pinyin() -> Dict[str, str]:
     """Parse the embedded entry blocks → {hanzi: 'pinyin+tone'}."""
     table: Dict[str, str] = {}
     for block in (_ENTRIES, _ENTRIES_H_M, _ENTRIES_N_S, _ENTRIES_T_Z,
-                  _ENTRIES_SUPP):
+                  _ENTRIES_SUPP, _ENTRIES_SUPP2):
         for ch, py in _TOKEN.findall(block):
             table.setdefault(ch, py)
     return table

@@ -901,6 +901,35 @@ class TestMandarinToneSandhi:
         assert "ㄏㄣˇ" in got and "ㄏㄠˇ" in got
 
 
+class TestMandarinCoverage:
+    """Frequency-weighted floor for the standalone hanzi table, measured
+    against the bundled jieba dictionary (tools/eval_zh_coverage.py); the
+    residual above the floor is dominated by mojibake artifacts in that
+    dictionary, not by real characters."""
+
+    def test_token_weighted_coverage_floor(self):
+        import os
+        import sys
+        tools = os.path.join(os.path.dirname(__file__), "..", "tools")
+        sys.path.insert(0, tools)
+        try:
+            import eval_zh_coverage
+        finally:
+            sys.path.remove(tools)
+        freq = eval_zh_coverage.hanzi_frequencies()
+        table = mandarin._HANZI_PINYIN
+        total = sum(freq.values())
+        covered = sum(c for ch, c in freq.items() if ch in table)
+        assert covered / total >= 0.985
+
+    def test_new_tranche_chars_convert(self):
+        # a sample of round-4-continuation tranche entries, end-to-end
+        assert mandarin.chinese_to_ipa("鲸鱼") == "tʃ⁼iŋ→ɥ↑"
+        assert mandarin.chinese_to_ipa("庐山") == "lu↑s`an→"
+        assert mandarin.chinese_to_ipa("黯然") == "an↓ɹ`an↑"
+        assert "↓↑" in mandarin.chinese_to_ipa("祷告")
+
+
 class TestMandarinErhua:
     """Opt-in erhua (儿化) fusion (mandarin.set_erhua / PTTS_ZH_ERHUA).
 
