@@ -15,14 +15,20 @@ The reference requires ``pyopenjtalk``; here it is optional:
   arrow placement semantics match the reference exactly (``↓`` after the
   accent-nucleus mora when the phrase continues, ``↑`` after the first mora
   of a non-atamadaka phrase of ≥2 moras, reference ``japanese.py:99-109``).
-  Kanji remain untranscribed (reading dictionaries need pyopenjtalk).
+  Kanji are read through the embedded three-layer dictionary in
+  ``kanji_kana_data.py`` (``kanji_to_kana`` below); unknown kanji are
+  logged once and passed through, never silently reinterpreted.
 """
 
 from __future__ import annotations
 
+import logging as _logging
 import re
 
+from personalized_text_to_speech_tpu.text import kanji_kana_data as _kanji_data
 from personalized_text_to_speech_tpu.text.english import ascii_fold
+
+_logger = _logging.getLogger(__name__)
 
 try:  # pragma: no cover - depends on environment
     import pyopenjtalk as _pyopenjtalk  # type: ignore
@@ -127,6 +133,87 @@ def _kana_to_moras(text: str) -> list:
 def _kana_to_phonemes(text: str) -> str:
     """Hiragana/katakana → openjtalk-style phoneme string (no accent info)."""
     return "".join(_kana_to_moras(text))
+
+
+# --------------------------------------------------------------------------
+# Kanji → kana readings (fallback path only; pyopenjtalk reads kanji
+# natively through its full dictionary, reference japanese.py:74-112)
+# --------------------------------------------------------------------------
+
+_KANJI_RE = re.compile(r"[一-鿿]")
+_warned_kanji: set = set()
+
+
+def kanji_to_kana(text: str) -> str:
+    """Replace kanji spans with hiragana readings via the embedded
+    three-layer dictionary (``kanji_kana_data.py``): greedy longest-match
+    words (incl. okurigana-prefixed conjugation stems like 食べ/新し),
+    五段-verb/i-adjective stems gated on the following okurigana
+    (行く→いく but 行きます→いきます), then single-character defaults.
+    Unknown kanji are logged once and passed through — downstream drops
+    them, which was the old behavior for *all* kanji."""
+    word = _kanji_data.WORD_READINGS
+    stems = _kanji_data.VERB_STEMS
+    char = _kanji_data.CHAR_READINGS
+    max_len = _kanji_data.max_word_len()
+    out = []
+    last_reading = ""  # for the 々 iteration mark
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if not _KANJI_RE.match(ch):
+            if ch == "々" and last_reading:
+                # iteration mark repeats the previous kanji's reading
+                # (word entries cover the rendaku cases: 人々/時々/色々)
+                out.append(last_reading)
+            else:
+                out.append(ch)
+                last_reading = ""
+            i += 1
+            continue
+        # 1) multi-character words (longest first)
+        hit = None
+        for length in range(min(max_len, n - i), 1, -1):
+            cand = text[i : i + length]
+            if cand in word:
+                hit = (length, word[cand])
+                break
+        # 2) verb/adjective stems, valid only before specific okurigana
+        if hit is None and ch in stems and i + 1 < n:
+            nxt = text[i + 1]
+            for reading, allowed in stems[ch]:
+                if nxt in allowed:
+                    hit = (1, reading)
+                    break
+        if hit is None and i + 2 <= n and text[i : i + 2] in stems and i + 2 < n:
+            nxt = text[i + 2]
+            for reading, allowed in stems[text[i : i + 2]]:
+                if nxt in allowed:
+                    hit = (2, reading)
+                    break
+        # 3) single-character defaults (word layer first: 話→はなし
+        #    standalone but 話す→はなす through the stem above)
+        if hit is None and ch in word:
+            hit = (1, word[ch])
+        if hit is None and ch in char:
+            hit = (1, char[ch])
+        if hit is None:
+            if ch not in _warned_kanji:
+                _warned_kanji.add(ch)
+                _logger.warning(
+                    "no kana reading for %r (U+%04X) — passed through; "
+                    "install pyopenjtalk for full kanji coverage",
+                    ch, ord(ch),
+                )
+            out.append(ch)
+            last_reading = ""
+            i += 1
+            continue
+        length, reading = hit
+        out.append(reading)
+        last_reading = reading
+        i += length
+    return "".join(out)
 
 
 # --------------------------------------------------------------------------
@@ -347,6 +434,7 @@ def japanese_to_romaji_with_accent(text: str) -> str:
             if _pyopenjtalk is not None:
                 out += _openjtalk_romaji_with_accent(sentence)
             else:
+                sentence = kanji_to_kana(sentence)
                 # lexicalized greetings keep the historical topic-particle
                 # spelling but read わ (openjtalk resolves these natively)
                 sentence = sentence.replace(

@@ -642,6 +642,90 @@ class TestJapaneseAccentGoldens:
         self._check(self.OOV_SUBJECT_GOLDENS)
 
 
+class TestKanjiReadings:
+    """Kanji → kana reading layer of the JA fallback (kanji_to_kana +
+    kanji_kana_data).  The reference reads kanji via pyopenjtalk's full
+    dictionary (reference text/japanese.py:74-112) and cannot run without
+    it; before this layer existed the fallback silently DROPPED kanji."""
+
+    # hand-verified readings through all three dictionary layers
+    KANA_GOLDENS = [
+        # word layer (greedy longest match, incl. okurigana-prefixed stems)
+        ("東京へ行く", "とうきょうへいく"),
+        ("私は学生です", "わたしはがくせいです"),
+        ("今日は寒い", "きょうはさむい"),
+        ("朝ご飯を食べました", "あさごはんをたべました"),
+        ("新しい本を買いたい", "あたらしいほんをかいたい"),
+        ("日本語を勉強します", "にほんごをべんきょうします"),
+        ("映画を見ます", "えいがをみます"),
+        ("来ました", "きました"),
+        # verb-stem layer: reading gated on the following okurigana
+        ("行きます", "いきます"),
+        ("高い山に登る", "たかいやまにのぼる"),
+        ("手紙を書いて送った", "てがみをかいておくった"),
+        ("雨が降る", "あめがふる"),
+        ("駅で待っています", "えきでまっています"),
+        # polyphone: 出 reads だ before さ行 but で before る/て
+        ("出す", "だす"),
+        ("出口から出る", "でぐちからでる"),
+        # polyphone: 話 standalone (word layer) vs 話す (stem layer)
+        ("話を話す", "はなしをはなす"),
+        # polyphone: 着 via word entries (きる vs つく)
+        ("服を着る", "ふくをきる"),
+        ("駅に着く", "えきにつく"),
+        # char layer defaults
+        ("山と川", "やまとかわ"),
+        ("犬と猫", "いぬとねこ"),
+        # 々 iteration mark: word entries carry rendaku, fallback repeats
+        ("人々", "ひとびと"),
+        ("山々", "やまやま"),
+    ]
+
+    def test_kana_goldens(self):
+        bad = {}
+        for text, want in self.KANA_GOLDENS:
+            got = japanese.kanji_to_kana(text)
+            if got != want:
+                bad[text] = (got, want)
+        assert not bad, f"kanji readings mismatched: {bad}"
+
+    def test_end_to_end_ipa(self):
+        # kanji text now produces full phoneme strings (previously only
+        # the kana survived: 東京へ行く -> '↑heku')
+        ipa = japanese.japanese_to_ipa2("東京へ行く")
+        assert ipa == "to↑ɯkjoɯe i↑kɯ"
+
+    def test_unknown_kanji_logged_not_silent(self, caplog):
+        import logging
+        japanese._warned_kanji.discard("鬱")
+        with caplog.at_level(logging.WARNING):
+            out = japanese.kanji_to_kana("鬱だ")
+        assert out == "鬱だ"  # passed through, not reinterpreted
+        assert any("鬱" in r.message for r in caplog.records)
+        # logged once only
+        caplog.clear()
+        with caplog.at_level(logging.WARNING):
+            japanese.kanji_to_kana("鬱だ")
+        assert not caplog.records
+
+    def test_table_hygiene(self):
+        from personalized_text_to_speech_tpu.text import kanji_kana_data as K
+        import re as _re
+        kanji = _re.compile(r"[一-鿿々]")
+        # kana-prefixed word keys must contain a kanji, or pure-kana text
+        # would be rewritten by the word layer
+        assert all(kanji.search(w) for w in K.WORD_READINGS)
+        # char layer is single-character by construction of the lookup
+        assert all(len(c) == 1 for c in K.CHAR_READINGS)
+        # all readings are pure hiragana (feed _kana_to_moras directly)
+        hira = _re.compile(r"^[぀-ゟー]+$")
+        for table in (K.WORD_READINGS, K.CHAR_READINGS):
+            assert all(hira.match(r) for r in table.values())
+        for entries in K.VERB_STEMS.values():
+            for reading, allowed in entries:
+                assert hira.match(reading) and hira.match(allowed)
+
+
 class TestEnglishFallbackAccuracy:
     """Word-accuracy gate for the fallback G2P (morphology + LTS) on the
     hand-verified goldens in tools/g2p_goldens.tsv — the reference resolves
