@@ -725,6 +725,71 @@ class TestKanjiReadings:
             for reading, allowed in entries:
                 assert hira.match(reading) and hira.match(allowed)
 
+    def test_no_duplicate_dict_keys(self):
+        # duplicate keys in a dict literal override silently; parse the
+        # source so a data-tranche paste error cannot slip through
+        import ast
+        import collections
+        import inspect
+        from personalized_text_to_speech_tpu.text import kanji_kana_data as K
+        tree = ast.parse(inspect.getsource(K))
+        checked = 0
+        for node in ast.walk(tree):
+            if isinstance(node, ast.AnnAssign) and isinstance(node.value, ast.Dict):
+                keys = [ast.literal_eval(k) for k in node.value.keys]
+                dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
+                assert not dupes, f"{node.target.id} duplicate keys: {dupes}"
+                checked += 1
+        assert checked == 3  # WORD_READINGS, VERB_STEMS, CHAR_READINGS
+
+    def test_coverage_eval_full_on_proxy_corpus(self):
+        # the frequency-weighted proxy corpus (tools/eval_ja_coverage.py)
+        # must stay fully covered as tables evolve
+        import importlib.util as u
+        import os
+        spec = u.spec_from_file_location(
+            "eval_ja_coverage",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "eval_ja_coverage.py"))
+        mod = u.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        from personalized_text_to_speech_tpu.text import kanji_kana_data as K
+        chars, _ = mod.ranked_kanji()
+        standalone = (
+            set(K.CHAR_READINGS)
+            | {w for w in K.WORD_READINGS if len(w) == 1}
+            | set(K.VERB_STEMS)
+            | {s[0] for s in K.VERB_STEMS if len(s) > 1}
+        )
+        missing = [ch for ch in chars if ch not in standalone]
+        assert not missing, f"proxy-corpus kanji lost coverage: {missing}"
+
+    # round-4 tranche: stems and okurigana words where on'yomi
+    # concatenation would misread
+    TRANCHE_GOLDENS = [
+        ("切ります", "きります"),
+        ("切手を買う", "きってをかう"),
+        ("電気を消す", "でんきをけす"),
+        ("打つ", "うつ"),
+        ("残りを食べる", "のこりをたべる"),
+        ("限られた時間", "かぎられたじかん"),
+        ("初めて会う", "はじめてあう"),
+        ("受け取る", "うけとる"),
+        ("眠い", "ねむい"),
+        ("値段が低い", "ねだんがひくい"),
+        ("建物の中", "たてもののなか"),
+        ("政府の会議", "せいふのかいぎ"),  # OOV compounds via on'yomi
+        ("電車の路線", "でんしゃのろせん"),
+    ]
+
+    def test_tranche_goldens(self):
+        bad = {}
+        for text, want in self.TRANCHE_GOLDENS:
+            got = japanese.kanji_to_kana(text)
+            if got != want:
+                bad[text] = (got, want)
+        assert not bad, f"tranche readings mismatched: {bad}"
+
 
 class TestEnglishFallbackAccuracy:
     """Word-accuracy gate for the fallback G2P (morphology + LTS) on the
