@@ -349,14 +349,24 @@ def _segment_accent_phrases(hira: str) -> list:
             phrases.append((_raw_span_reading(raw), _accent_type(raw)))
         j = i + len(hit)
         reading = hit
-        while True:  # absorb trailing particles/endings
+        # absorb trailing endings (です/ました may chain: たいです), then
+        # at most one particle — a particle CLOSES the accent phrase
+        # (particle chains like をの are ungrammatical; the real chains
+        # には/では/とは/までは are whole entries in _PARTICLES), so the
+        # next dictionary word starts fresh (みずを|のむ, not みずをの|む)
+        while True:
+            hit_a = None
             for a in attach:
                 if hira.startswith(a, j):
-                    j += len(a)
-                    reading += _particle_reading(a) if a in particles else a
+                    hit_a = a
                     break
-            else:
+            if hit_a is None:
                 break
+            j += len(hit_a)
+            if hit_a in particles:
+                reading += _particle_reading(hit_a)
+                break
+            reading += hit_a
         phrases.append((reading, _accent_type(hira[i:j])))
         i = start = j
     if start < n:

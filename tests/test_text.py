@@ -625,6 +625,11 @@ class TestJapaneseAccentGoldens:
         # rewritten, while a particle after it still reads わ
         ("はは", "ha↓ha"),
         ("ははは", "ha↓hawa"),
+        # a case particle CLOSES the accent phrase: の after を must not
+        # be absorbed as a second particle (をの is ungrammatical), so
+        # のむ segments as its own type-1 phrase
+        ("みずをのむ", "mi↑zuo no↓mu"),
+        ("ほんをよみました", "ho↓No yo↑mimaʃita"),
     ]
 
     def _check(self, goldens):
