@@ -25,6 +25,7 @@ from __future__ import annotations
 import logging as _logging
 import re
 
+from personalized_text_to_speech_tpu.text import ja_numbers as _ja_numbers
 from personalized_text_to_speech_tpu.text import kanji_kana_data as _kanji_data
 from personalized_text_to_speech_tpu.text.english import ascii_fold
 
@@ -434,6 +435,12 @@ def _openjtalk_romaji_with_accent(sentence: str) -> str:
 def japanese_to_romaji_with_accent(text: str) -> str:
     for regex, replacement in _SYMBOLS_TO_JAPANESE:
         text = re.sub(regex, replacement, text)
+    if _pyopenjtalk is None:
+        # openjtalk normalizes digits itself; the fallback reads
+        # number+counter before sentence splitting (decimal points and
+        # comma groups sit at mark boundaries) and before kanji_to_kana
+        # (which would read the counter kanji standalone)
+        text = _ja_numbers.convert_numbers(text)
     sentences = re.split(_JAPANESE_MARKS, text)
     marks = re.findall(_JAPANESE_MARKS, text)
     out = ""
@@ -462,7 +469,10 @@ def japanese_to_romaji_with_accent(text: str) -> str:
 
 _REAL_SOKUON = [(re.compile(p), r) for p, r in [
     (r"Q([↑↓]*[kg])", r"k#\1"),
-    (r"Q([↑↓]*[tdjʧ])", r"t#\1"),
+    # ʦ included: the fallback kana table pre-substitutes つ→ʦu, while the
+    # reference sees "ts" here (its ts→ʦ rewrite runs after sokuon) —
+    # same final output t#ʦ either way (reference japanese.py:20-28)
+    (r"Q([↑↓]*[tdjʧʦ])", r"t#\1"),
     (r"Q([↑↓]*[sʃ])", r"s\1"),
     (r"Q([↑↓]*[pb])", r"p#\1"),
 ]]
@@ -481,6 +491,11 @@ _ROMAJI_TO_IPA = [(re.compile(p), r) for p, r in [
 ]]
 
 _ROMAJI_TO_IPA2 = [(re.compile(p), r) for p, r in [
+    # the fallback kana table pre-substitutes つ→ʦ, but the reference's
+    # ipa2 path never maps ts→ʦ (that rewrite is v1-only, reference
+    # japanese.py:115-136), so its cjke output spells つ as "ts"+vowel
+    # and ʦ is NOT in the cjke symbol vocab — lower it back first
+    ("ʦ", "ts"),
     ("u", "ɯ"), ("ʧ", "tʃ"), ("j", "dʑ"), ("y", "j"), ("ni", "n^i"),
     ("nj", "n^"), ("hi", "çi"), ("hj", "ç"), ("f", "ɸ"), ("I", "i*"),
     ("U", "ɯ*"), ("r", "ɾ"),

@@ -796,6 +796,99 @@ class TestKanjiReadings:
         assert not bad, f"tranche readings mismatched: {bad}"
 
 
+class TestJapaneseNumbers:
+    """Number → kana reading for the JA fallback (text/ja_numbers.py).
+    The reference delegates digits to pyopenjtalk's normalization
+    (reference text/japanese.py:74-112); without it digits previously
+    leaked verbatim into the phoneme stream ('3時' → '3とき')."""
+
+    def test_cardinals(self):
+        from personalized_text_to_speech_tpu.text import ja_numbers as N
+        for n, want in [
+            (0, "ゼロ"), (1, "いち"), (11, "じゅういち"),
+            (300, "さんびゃく"), (600, "ろっぴゃく"), (800, "はっぴゃく"),
+            (1000, "せん"), (3000, "さんぜん"), (8000, "はっせん"),
+            (10000, "いちまん"), (10000000, "いっせんまん"),
+            (1000000000000, "いっちょう"),
+            (123456789, "いちおくにせんさんびゃくよんじゅうごまん"
+                        "ろくせんななひゃくはちじゅうきゅう"),
+        ]:
+            assert N.number_to_kana(n) == want, n
+
+    def test_counters_gemination_and_rendaku(self):
+        from personalized_text_to_speech_tpu.text import ja_numbers as N
+        for v, c, want in [
+            (1, "分", "いっぷん"), (3, "分", "さんぷん"),
+            (4, "分", "よんぷん"), (6, "分", "ろっぷん"),
+            (10, "分", "じゅっぷん"), (1, "本", "いっぽん"),
+            (3, "本", "さんぼん"), (6, "本", "ろっぽん"),
+            (5, "本", "ごほん"), (3, "匹", "さんびき"),
+            (300, "本", "さんびゃっぽん"), (600, "匹", "ろっぴゃっぴき"),
+            (3000, "本", "さんぜんぼん"), (300, "冊", "さんびゃくさつ"),
+            (1, "回", "いっかい"), (6, "回", "ろっかい"),
+            (3, "階", "さんがい"), (10, "階", "じゅっかい"),
+            (8, "冊", "はっさつ"), (1, "週間", "いっしゅうかん"),
+            (6, "ヶ月", "ろっかげつ"), (11, "分", "じゅういっぷん"),
+            (20, "分", "にじゅっぷん"),
+        ]:
+            assert N.counter_reading(v, c) == want, (v, c)
+
+    def test_irregular_series(self):
+        from personalized_text_to_speech_tpu.text import ja_numbers as N
+        for v, c, want in [
+            (4, "時", "よじ"), (9, "時", "くじ"), (7, "時", "しちじ"),
+            (24, "時間", "にじゅうよじかん"), (4, "月", "しがつ"),
+            (9, "月", "くがつ"), (1, "人", "ひとり"), (2, "人", "ふたり"),
+            (4, "人", "よにん"), (3, "人", "さんにん"),
+            (1, "日", "ついたち"), (20, "日", "はつか"),
+            (14, "日", "じゅうよっか"), (15, "日", "じゅうごにち"),
+            (3, "日間", "みっかかん"), (3, "つ", "みっつ"),
+            (20, "歳", "はたち"), (4, "年", "よねん"), (4, "円", "よえん"),
+        ]:
+            assert N.counter_reading(v, c) == want, (v, c)
+
+    def test_convert_numbers_in_text(self):
+        from personalized_text_to_speech_tpu.text import ja_numbers as N
+        assert (N.convert_numbers("3時15分に1,200円で2つ買った")
+                == "さんじじゅうごふんにせんにひゃくえんでふたつ買った")
+        assert (N.convert_numbers("2024年8月18日")
+                == "にせんにじゅうよねんはちがつじゅうはちにち")
+        assert N.convert_numbers("体温は36.5度") == "体温はさんじゅうろくてんごど"
+        # leading zeros read digit-by-digit
+        assert N.convert_numbers("090") == "ゼロきゅうゼロ"
+        # full-width digits normalize
+        assert N.convert_numbers("３つ") == "みっつ"
+
+    def test_kanji_numerals_with_counters(self):
+        from personalized_text_to_speech_tpu.text import ja_numbers as N
+        assert N.kanji_numeral_to_int("三十五") == 35
+        assert N.kanji_numeral_to_int("二万") == 20000
+        assert N.kanji_numeral_to_int("八百") == 800
+        assert N.convert_numbers("三人") == "さんにん"
+        assert N.convert_numbers("五百円") == "ごひゃくえん"
+        assert N.convert_numbers("三日間") == "みっかかん"
+        # ambiguity exclusions: the non-numeric reading dominates and is
+        # carried by the word layer instead
+        assert N.convert_numbers("十分") == "十分"
+        assert N.convert_numbers("一日") == "一日"
+        assert japanese.kanji_to_kana("十分") == "じゅうぶん"
+        assert japanese.kanji_to_kana("一日") == "いちにち"
+
+    def test_end_to_end_ipa(self):
+        assert japanese.japanese_to_ipa2("3時に会いましょう") == \
+            "sa↑n^dʑin^iaimaʃoɯ"
+        # っつ sokuon from native numerals: Q+ʦ now assimilates, and ipa2
+        # lowers ʦ back to the reference's "ts" spelling (ʦ is not in the
+        # cjke symbol vocab; the ts→ʦ rewrite is v1-only)
+        assert "Q" not in japanese.japanese_to_ipa2("りんごを3つ食べた")
+        assert japanese.japanese_to_ipa2("みっつ") == "mi↑t#tsɯ"
+        assert japanese.japanese_to_ipa("みっつ") == "mi↑t#ʦɯ"  # v1 keeps ʦ
+        from personalized_text_to_speech_tpu.text import (
+            sequence_to_text, text_to_sequence)
+        assert sequence_to_text(text_to_sequence("[JA]みっつ[JA]")) == \
+            "mi↑t#tsɯ."  # survives the cjke vocab (ʦ used to be dropped)
+
+
 class TestEnglishFallbackAccuracy:
     """Word-accuracy gate for the fallback G2P (morphology + LTS) on the
     hand-verified goldens in tools/g2p_goldens.tsv — the reference resolves
