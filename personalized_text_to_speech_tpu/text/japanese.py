@@ -145,52 +145,74 @@ _KANJI_RE = re.compile(r"[一-鿿]")
 _warned_kanji: set = set()
 
 
-def kanji_to_kana(text: str) -> str:
+def _kanji_to_kana_tokens(text: str):
     """Replace kanji spans with hiragana readings via the embedded
     three-layer dictionary (``kanji_kana_data.py``): greedy longest-match
     words (incl. okurigana-prefixed conjugation stems like 食べ/新し),
     五段-verb/i-adjective stems gated on the following okurigana
     (行く→いく but 行きます→いきます), then single-character defaults.
     Unknown kanji are logged once and passed through — downstream drops
-    them, which was the old behavior for *all* kanji."""
+    them, which was the old behavior for *all* kanji.
+
+    Returns ``(kana, intervals)`` where intervals are ``(start, end,
+    kind)`` spans into ``kana``: kind ``"word"`` for word/char-layer
+    readings (atomic — the accent segmenter must not split inside) and
+    ``"stem"`` for verb/adjective stems (no split inside, but a longer
+    dictionary match may extend past the okurigana: たかい over stem
+    たか)."""
     word = _kanji_data.WORD_READINGS
     stems = _kanji_data.VERB_STEMS
     char = _kanji_data.CHAR_READINGS
     max_len = _kanji_data.max_word_len()
     out = []
+    intervals = []
+    pos = 0  # length of joined output so far
+    last_was_word = False  # previous emit produced a word interval
     last_reading = ""  # for the 々 iteration mark
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
-        if not _KANJI_RE.match(ch):
-            if ch == "々" and last_reading:
-                # iteration mark repeats the previous kanji's reading
-                # (word entries cover the rendaku cases: 人々/時々/色々)
-                out.append(last_reading)
-            else:
-                out.append(ch)
-                last_reading = ""
-            i += 1
-            continue
-        # 1) multi-character words (longest first)
+        # 1) multi-character words, longest first — attempted at EVERY
+        #    position: keys may start with kana (お金, ご飯, 買い物), and
+        #    all keys contain a kanji so plain kana text cannot mis-match
         hit = None
+        kind = "word"
         for length in range(min(max_len, n - i), 1, -1):
             cand = text[i : i + length]
             if cand in word:
                 hit = (length, word[cand])
                 break
+        if hit is None and not _KANJI_RE.match(ch):
+            if ch == "々" and last_reading:
+                # iteration mark repeats the previous kanji's reading
+                # (word entries cover the rendaku cases: 人々/時々/色々);
+                # extend the previous interval so 山々 stays one word
+                out.append(last_reading)
+                if last_was_word and intervals:
+                    s, _e, k = intervals[-1]
+                    intervals[-1] = (s, pos + len(last_reading), k)
+                pos += len(last_reading)
+            else:
+                out.append(ch)
+                pos += len(ch)
+                last_reading = ""
+                last_was_word = False
+            i += 1
+            continue
         # 2) verb/adjective stems, valid only before specific okurigana
         if hit is None and ch in stems and i + 1 < n:
             nxt = text[i + 1]
             for reading, allowed in stems[ch]:
                 if nxt in allowed:
                     hit = (1, reading)
+                    kind = "stem"
                     break
         if hit is None and i + 2 <= n and text[i : i + 2] in stems and i + 2 < n:
             nxt = text[i + 2]
             for reading, allowed in stems[text[i : i + 2]]:
                 if nxt in allowed:
                     hit = (2, reading)
+                    kind = "stem"
                     break
         # 3) single-character defaults (word layer first: 話→はなし
         #    standalone but 話す→はなす through the stem above)
@@ -207,14 +229,24 @@ def kanji_to_kana(text: str) -> str:
                     ch, ord(ch),
                 )
             out.append(ch)
+            pos += len(ch)
             last_reading = ""
+            last_was_word = False
             i += 1
             continue
         length, reading = hit
         out.append(reading)
+        intervals.append((pos, pos + len(reading), kind))
+        pos += len(reading)
         last_reading = reading
+        last_was_word = kind == "word"
         i += length
-    return "".join(out)
+    return "".join(out), intervals
+
+
+def kanji_to_kana(text: str) -> str:
+    """Kana reading of ``text`` (see ``_kanji_to_kana_tokens``)."""
+    return _kanji_to_kana_tokens(text)[0]
 
 
 # --------------------------------------------------------------------------
@@ -270,6 +302,43 @@ _ACCENT_DICT = {
     "ごはん": 0, "おちゃ": 0, "さとう": 0, "しんぶん": 0, "つくえ": 0,
     "ねだん": 0, "はがき": 0, "ひこうき": 0, "ふく": 0, "へや": 0,
     "ほんや": 0, "まど": 0, "みち": 0, "むら": 0, "やさい": 0,
+    # round-4 (cont.) tranche: readings the kanji layer now produces
+    # frequently (NHK accent, high-confidence entries only); type-0
+    # entries also anchor segmentation so particles attach correctly
+    # NOTE: short kana entries split longer OOV words (greedy scan), so
+    # いま is deliberately absent (it sits inside every polite 〜います)
+    # and きょう's common supersets are listed so they win at their start
+    "きょう": 1, "とうきょう": 0, "きょうと": 1, "きょういく": 0,
+    "きょうかい": 0, "きょうしつ": 0, "きょうみ": 1,
+    "あした": 3, "きのう": 2, "でんき": 1,
+    "えいが": 1, "おんがく": 1, "くうき": 1, "けしき": 1, "りょうり": 1,
+    "かいぎ": 1, "いみ": 1, "かぞく": 1, "りょうしん": 1, "せいと": 1,
+    "かのじょ": 1, "たいよう": 1, "まいにち": 1,
+    "たまご": 2, "くだもの": 2, "こたえ": 2, "じてんしゃ": 2,
+    "はれ": 2, "としょかん": 2,
+    "べんとう": 3, "くもり": 3,
+    "がくせい": 0, "じかん": 0, "しごと": 0, "べんきょう": 0,
+    "しゅくだい": 0, "りょこう": 0, "ざっし": 0, "くすり": 0,
+    "かぜ": 0, "どうぶつ": 0, "しぜん": 0, "ぎゅうにゅう": 0,
+    "やくそく": 0, "よてい": 0, "れんしゅう": 0, "しつもん": 0,
+    "もんだい": 0, "きもち": 0, "じしん": 0, "ちかてつ": 0,
+    "でんしゃ": 0, "おとな": 0, "むすこ": 0, "いしゃ": 0,
+    "けいさつ": 0, "こうこう": 0, "せかい": 0, "てんいん": 0,
+    # verbs (dictionary form)
+    "かえる": 1, "はいる": 1, "でる": 1, "まつ": 1, "もつ": 1,
+    "とる": 1, "あう": 1,
+    "およぐ": 2, "やすむ": 2, "つくる": 2, "おきる": 2, "わかる": 2,
+    "ならう": 2, "おもう": 2, "しめる": 2,
+    "する": 0, "あそぶ": 0, "はたらく": 0, "うる": 0, "おくる": 0,
+    "しぬ": 0, "ねる": 0, "わすれる": 0, "おしえる": 0, "つかう": 0,
+    "いう": 0, "よぶ": 0, "あける": 0, "けす": 0, "はじまる": 0,
+    "おわる": 0, "うまれる": 0, "おぼえる": 3,
+    # i-adjectives
+    "おいしい": 0, "やさしい": 0, "つめたい": 0, "あかるい": 0,
+    "おもい": 0, "かるい": 0,
+    "ひくい": 2, "ひろい": 2, "せまい": 2,
+    "すずしい": 3,
+    "むずかしい": 4, "いそがしい": 4, "あたたかい": 4,
 }
 
 # particles that attach to the preceding accent phrase
@@ -322,26 +391,63 @@ def _raw_span_reading(raw: str) -> str:
     return raw
 
 
-def _segment_accent_phrases(hira: str) -> list:
+def _segment_accent_phrases(hira: str, intervals=()) -> list:
     """Greedy longest-match split of a kana run into accent phrases: a
     dictionary word plus any attached particles/endings forms one phrase;
     unmatched spans between matches form their own (heiban) phrases.  A
     lightweight stand-in for openjtalk's accent-phrase analysis.
+
+    ``intervals`` are kanji-reading spans from ``_kanji_to_kana_tokens``:
+    dictionary matches and particle absorption may not start inside one
+    (週末→しゅうまつ must not re-split as しゅう|まつ); a ``"word"`` span
+    is itself a match at its start; a match may extend past a ``"stem"``
+    span (たかい over stem たか) but may not equal it (はな alone is a
+    verb fragment, not 花).
 
     Returns ``(reading, nucleus)`` pairs: the reading has particle は/へ
     corrected to わ/え; the accent type is looked up on the raw text."""
     words = sorted(_ACCENT_DICT, key=len, reverse=True)
     attach = sorted(_PARTICLES + _ENDINGS, key=len, reverse=True)
     particles = set(_PARTICLES)
+    word_start = {s: e for s, e, k in intervals if k == "word"}
+    word_spans = [(s, e) for s, e, k in intervals if k == "word"]
+    stem_spans = [(s, e) for s, e, k in intervals if k == "stem"]
+    # positions where neither a dict match nor absorption may begin
+    guard = set()
+    for s, e, _k in intervals:
+        guard.update(range(s + 1, e))
+    absorb_guard = guard | {s for s, e, _k in intervals}
+
+    def _candidate_ok(i, length):
+        end = i + length
+        for s, e in word_spans:
+            if end <= s or i >= e:
+                continue
+            if i <= s and end >= e:  # fully contains the word
+                continue
+            return False
+        for s, e in stem_spans:
+            if end <= s or i >= e:
+                continue
+            if i == s and end == e:  # the bare stem is not a word here
+                return False
+            if i <= s and end >= e:  # extends past the okurigana
+                continue
+            return False
+        return True
+
     phrases = []
     i = start = 0
     n = len(hira)
     while i < n:
         hit = None
-        for w in words:
-            if hira.startswith(w, i):
-                hit = w
-                break
+        if i not in guard:
+            for w in words:
+                if hira.startswith(w, i) and _candidate_ok(i, len(w)):
+                    hit = w
+                    break
+            if hit is None and i in word_start:
+                hit = hira[i : word_start[i]]
         if hit is None:
             i += 1
             continue
@@ -358,7 +464,11 @@ def _segment_accent_phrases(hira: str) -> list:
         while True:
             hit_a = None
             for a in attach:
-                if hira.startswith(a, j):
+                if (
+                    hira.startswith(a, j)
+                    and all(p not in absorb_guard
+                            for p in range(j, j + len(a)))
+                ):
                     hit_a = a
                     break
             if hit_a is None:
@@ -376,15 +486,15 @@ def _segment_accent_phrases(hira: str) -> list:
     return phrases
 
 
-def _kana_to_phonemes_with_accent(text: str) -> str:
+def _kana_to_phonemes_with_accent(text: str, intervals=()) -> str:
     """Fallback G2P WITH estimated pitch-accent arrows, mirroring the
     reference's placement rules (reference ``japanese.py:99-109``): ``↓``
     after the nucleus mora when another mora follows in the phrase; ``↑``
     after the first mora of a ≥2-mora phrase unless the fall already
     happened there (atamadaka)."""
-    hira = _kata_to_hira(text)
+    hira = _kata_to_hira(text)  # length-preserving: intervals stay valid
     pieces = []
-    for phrase, nucleus in _segment_accent_phrases(hira):
+    for phrase, nucleus in _segment_accent_phrases(hira, intervals):
         moras = _kana_to_moras(phrase)
         n = len(moras)
         if n == 0:
@@ -451,13 +561,14 @@ def japanese_to_romaji_with_accent(text: str) -> str:
             if _pyopenjtalk is not None:
                 out += _openjtalk_romaji_with_accent(sentence)
             else:
-                sentence = kanji_to_kana(sentence)
+                sentence, intervals = _kanji_to_kana_tokens(sentence)
                 # lexicalized greetings keep the historical topic-particle
-                # spelling but read わ (openjtalk resolves these natively)
+                # spelling but read わ (openjtalk resolves these natively;
+                # both rewrites are length-preserving so intervals hold)
                 sentence = sentence.replace(
                     "こんにちは", "こんにちわ"
                 ).replace("こんばんは", "こんばんわ")
-                out += _kana_to_phonemes_with_accent(sentence)
+                out += _kana_to_phonemes_with_accent(sentence, intervals)
         if i < len(marks):
             out += ascii_fold(marks[i]).replace(" ", "")
     return out

@@ -700,6 +700,25 @@ class TestKanjiReadings:
         ipa = japanese.japanese_to_ipa2("東京へ行く")
         assert ipa == "to↑ɯkjoɯe i↑kɯ"
 
+    def test_word_boundaries_reach_the_segmenter(self):
+        # readings arrive with their word boundaries: the accent
+        # segmenter must not re-split inside a known word (週末 must not
+        # become しゅう|まつ via the まつ dictionary entry) and no word
+        # in the table may split through the kanji path
+        from personalized_text_to_speech_tpu.text import (
+            kanji_kana_data as K)
+        for w in K.WORD_READINGS:
+            kana, iv = japanese._kanji_to_kana_tokens(w)
+            phrases = japanese._segment_accent_phrases(kana, iv)
+            assert len(phrases) <= 1, (w, phrases)
+        # the polite suffix must not split after an ichidan stem
+        assert japanese.japanese_to_ipa2("映画を見ます") == \
+            "e↓igao mi↑masɯ"
+        # kana-initial word keys match (the word layer runs at every
+        # position, not only at kanji)
+        assert japanese.kanji_to_kana("お金") == "おかね"
+        assert japanese.kanji_to_kana("ご飯") == "ごはん"
+
     def test_unknown_kanji_logged_not_silent(self, caplog):
         import logging
         japanese._warned_kanji.discard("鬱")
