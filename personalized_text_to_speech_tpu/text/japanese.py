@@ -341,6 +341,18 @@ _ACCENT_DICT = {
     "むずかしい": 4, "いそがしい": 4, "あたたかい": 4,
 }
 
+# dictionary words indexed by first kana, longest first (the segmenter
+# probes every position; a flat longest-first scan of the whole dict per
+# position dominated frontend cost)
+def _build_word_index():
+    idx = {}
+    for w in sorted(_ACCENT_DICT, key=len, reverse=True):
+        idx.setdefault(w[0], []).append(w)
+    return idx
+
+
+_WORD_INDEX = _build_word_index()
+
 # particles that attach to the preceding accent phrase
 _PARTICLES = (
     "までは", "からは", "には", "とは", "では", "へは",
@@ -355,6 +367,9 @@ _ENDINGS = (
     "でした", "ました", "ません", "ましょう",
     "です", "ます", "たい", "だ",
 )
+
+_ATTACH = sorted(_PARTICLES + _ENDINGS, key=len, reverse=True)
+_PARTICLE_SET = set(_PARTICLES)
 
 
 def _accent_type(phrase_hira: str) -> int:
@@ -406,9 +421,8 @@ def _segment_accent_phrases(hira: str, intervals=()) -> list:
 
     Returns ``(reading, nucleus)`` pairs: the reading has particle は/へ
     corrected to わ/え; the accent type is looked up on the raw text."""
-    words = sorted(_ACCENT_DICT, key=len, reverse=True)
-    attach = sorted(_PARTICLES + _ENDINGS, key=len, reverse=True)
-    particles = set(_PARTICLES)
+    attach = _ATTACH
+    particles = _PARTICLE_SET
     word_start = {s: e for s, e, k in intervals if k == "word"}
     word_spans = [(s, e) for s, e, k in intervals if k == "word"]
     stem_spans = [(s, e) for s, e, k in intervals if k == "stem"]
@@ -442,7 +456,7 @@ def _segment_accent_phrases(hira: str, intervals=()) -> list:
     while i < n:
         hit = None
         if i not in guard:
-            for w in words:
+            for w in _WORD_INDEX.get(hira[i], ()):
                 if hira.startswith(w, i) and _candidate_ok(i, len(w)):
                     hit = w
                     break
