@@ -137,6 +137,31 @@ def _kana_to_phonemes(text: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# Latin acronyms → letter-name kana (fallback only; openjtalk reads
+# letters natively).  Uppercase runs not followed by lowercase (JR, OK,
+# TPU — but not the H of Hello) read as Japanese letter names.
+# --------------------------------------------------------------------------
+
+_LETTER_KANA = {
+    "A": "えー", "B": "びー", "C": "しー", "D": "でぃー", "E": "いー",
+    "F": "えふ", "G": "じー", "H": "えいち", "I": "あい", "J": "じぇー",
+    "K": "けー", "L": "える", "M": "えむ", "N": "えぬ", "O": "おー",
+    "P": "ぴー", "Q": "きゅー", "R": "あーる", "S": "えす", "T": "てぃー",
+    "U": "ゆー", "V": "ぶい", "W": "だぶりゅー", "X": "えっくす",
+    "Y": "わい", "Z": "ぜっと",
+}
+_ACRONYM_RE = re.compile(r"[A-Z]+(?![a-z])")
+_FW_UPPER = str.maketrans(
+    {chr(0xFF21 + i): chr(ord("A") + i) for i in range(26)})
+
+
+def _read_acronyms(text: str) -> str:
+    text = text.translate(_FW_UPPER)
+    return _ACRONYM_RE.sub(
+        lambda m: "".join(_LETTER_KANA[c] for c in m.group(0)), text)
+
+
+# --------------------------------------------------------------------------
 # Kanji → kana readings (fallback path only; pyopenjtalk reads kanji
 # natively through its full dictionary, reference japanese.py:74-112)
 # --------------------------------------------------------------------------
@@ -565,6 +590,7 @@ def japanese_to_romaji_with_accent(text: str) -> str:
         # comma groups sit at mark boundaries) and before kanji_to_kana
         # (which would read the counter kanji standalone)
         text = _ja_numbers.convert_numbers(text)
+        text = _read_acronyms(text)
     sentences = re.split(_JAPANESE_MARKS, text)
     marks = re.findall(_JAPANESE_MARKS, text)
     out = ""

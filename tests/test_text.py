@@ -893,6 +893,18 @@ class TestJapaneseNumbers:
         assert japanese.kanji_to_kana("十分") == "じゅうぶん"
         assert japanese.kanji_to_kana("一日") == "いちにち"
 
+    def test_latin_acronyms(self):
+        # uppercase runs read as Japanese letter names in the fallback
+        # (openjtalk reads letters natively); lowercase-continued words
+        # are left alone
+        assert japanese.kanji_to_kana(
+            japanese._read_acronyms("JR")) == "じぇーあーる"
+        assert japanese._read_acronyms("OK") == "おーけー"
+        assert japanese._read_acronyms("Hello") == "Hello"
+        assert japanese._read_acronyms("ＮＨＫ") == "えぬえいちけー"
+        ipa = japanese.japanese_to_ipa2("TPUで3倍速い")
+        assert ipa == "te↑iipiijɯɯdesambai ha↑ja↓i"
+
     def test_end_to_end_ipa(self):
         assert japanese.japanese_to_ipa2("3時に会いましょう") == \
             "sa↑n^dʑin^iaimaʃoɯ"
