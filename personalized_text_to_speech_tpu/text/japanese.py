@@ -525,6 +525,23 @@ def _segment_accent_phrases(hira: str, intervals=()) -> list:
     return phrases
 
 
+# Vowel devoicing (fallback only): openjtalk marks devoiced vowels as
+# capital I/U in its label phonemes — that is what the reference's
+# I→i* / U→ɯ* IPA rules consume (reference japanese.py:115-144).  The
+# fallback estimates them with the classic rule: a high vowel between
+# voiceless consonants devoices (しか→ʃIka, です→desU before sokuon or
+# voiceless onset), plus utterance-final u after s/ʃ/ʦ (です/ます).  The
+# accent nucleus (followed by ↓) resists devoicing — the lookahead only
+# passes over a rise marker.
+_DEVOICE_RE = re.compile(r"(?<=[ksʃtpfhʧʦ])([iu])(?=↑?[ksʃtpfhʧʦQ])")
+_DEVOICE_FINAL_RE = re.compile(r"(?<=[sʃʦ])u$")
+
+
+def _apply_devoicing(text: str) -> str:
+    text = _DEVOICE_RE.sub(lambda m: m.group(1).upper(), text)
+    return _DEVOICE_FINAL_RE.sub("U", text)
+
+
 def _kana_to_phonemes_with_accent(text: str, intervals=()) -> str:
     """Fallback G2P WITH estimated pitch-accent arrows, mirroring the
     reference's placement rules (reference ``japanese.py:99-109``): ``↓``
@@ -547,7 +564,7 @@ def _kana_to_phonemes_with_accent(text: str, intervals=()) -> str:
                 out.append("↑")
         pieces.append("".join(out))
     # accent-phrase boundaries surface as spaces (reference japanese.py:103)
-    return " ".join(pieces)
+    return _apply_devoicing(" ".join(pieces))
 
 
 # --------------------------------------------------------------------------
@@ -637,8 +654,8 @@ _REAL_HATSUON = [(re.compile(p), r) for p, r in [
 
 _ROMAJI_TO_IPA = [(re.compile(p), r) for p, r in [
     ("ts", "ʦ"), ("u", "ɯ"), ("j", "ʥ"), ("y", "j"), ("ni", "n^i"),
-    ("nj", "n^"), ("hi", "çi"), ("hj", "ç"), ("f", "ɸ"), ("I", "i*"),
-    ("U", "ɯ*"), ("r", "ɾ"),
+    ("nj", "n^"), ("hi", "çi"), ("hI", "çI"), ("hj", "ç"), ("f", "ɸ"),
+    ("I", "i*"), ("U", "ɯ*"), ("r", "ɾ"),
 ]]
 
 _ROMAJI_TO_IPA2 = [(re.compile(p), r) for p, r in [
@@ -648,8 +665,8 @@ _ROMAJI_TO_IPA2 = [(re.compile(p), r) for p, r in [
     # and ʦ is NOT in the cjke symbol vocab — lower it back first
     ("ʦ", "ts"),
     ("u", "ɯ"), ("ʧ", "tʃ"), ("j", "dʑ"), ("y", "j"), ("ni", "n^i"),
-    ("nj", "n^"), ("hi", "çi"), ("hj", "ç"), ("f", "ɸ"), ("I", "i*"),
-    ("U", "ɯ*"), ("r", "ɾ"),
+    ("nj", "n^"), ("hi", "çi"), ("hI", "çI"), ("hj", "ç"), ("f", "ɸ"),
+    ("I", "i*"), ("U", "ɯ*"), ("r", "ɾ"),
 ]]
 
 
