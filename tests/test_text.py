@@ -1107,6 +1107,19 @@ class TestFrontendFuzz:
             tag = tags[i % len(tags)]
             self._assert_valid(f"{tag}{body}{tag}")
 
+    def test_ja_numbers_and_kanji_soup(self):
+        # the number/counter/kanji readers must hold on adversarial input
+        import random
+        rng = random.Random(99)
+        pieces = ["3", "０", "999999999999999999999", "1,2,3", "1,",
+                  "3.", ".5", "0.000001", "12.34.56", "時", "分", "人",
+                  "ヶ月", "つ", "円", "一", "十", "百千万", "来", "見",
+                  "た", "ます", "は", "、", "JR", "Ｘ", "。"]
+        for _ in range(80):
+            body = "".join(rng.choice(pieces)
+                           for _ in range(rng.randint(1, 12)))
+            self._assert_valid(f"[JA]{body}[JA]")
+
     def test_malformed_tags_and_edges(self):
         for text in [
             "",
