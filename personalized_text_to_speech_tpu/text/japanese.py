@@ -188,6 +188,7 @@ def _kanji_to_kana_tokens(text: str):
     word = _kanji_data.WORD_READINGS
     stems = _kanji_data.VERB_STEMS
     char = _kanji_data.CHAR_READINGS
+    onyomi = _kanji_data.CHAR_ONYOMI
     max_len = _kanji_data.max_word_len()
     out = []
     intervals = []
@@ -239,7 +240,16 @@ def _kanji_to_kana_tokens(text: str):
                     hit = (2, reading)
                     kind = "stem"
                     break
-        # 3) single-character defaults (word layer first: 話→はなし
+        # 3) compound context (an adjacent kanji on either side): OOV
+        #    Sino-Japanese compounds concatenate bound on'yomi
+        #    (水道→すいどう, 話題→わだい); standalone kun defaults would
+        #    misread them (みずどう)
+        if hit is None and ch in onyomi and (
+            (i + 1 < n and _KANJI_RE.match(text[i + 1]))
+            or (i > 0 and _KANJI_RE.match(text[i - 1]))
+        ):
+            hit = (1, onyomi[ch])
+        # 4) single-character defaults (word layer first: 話→はなし
         #    standalone but 話す→はなす through the stem above)
         if hit is None and ch in word:
             hit = (1, word[ch])

@@ -684,6 +684,15 @@ class TestKanjiReadings:
         # 々 iteration mark: word entries carry rendaku, fallback repeats
         ("人々", "ひとびと"),
         ("山々", "やまやま"),
+        # compound context: OOV two-kanji words concatenate bound
+        # on'yomi; the same chars standalone keep their kun defaults
+        ("水道", "すいどう"),
+        ("名人", "めいじん"),
+        ("話題", "わだい"),
+        ("会話", "かいわ"),
+        ("読書", "どくしょ"),
+        ("出入口", "でいりぐち"),
+        ("水と名前", "みずとなまえ"),
     ]
 
     def test_kana_goldens(self):
@@ -743,8 +752,9 @@ class TestKanjiReadings:
         assert all(len(c) == 1 for c in K.CHAR_READINGS)
         # all readings are pure hiragana (feed _kana_to_moras directly)
         hira = _re.compile(r"^[぀-ゟー]+$")
-        for table in (K.WORD_READINGS, K.CHAR_READINGS):
+        for table in (K.WORD_READINGS, K.CHAR_READINGS, K.CHAR_ONYOMI):
             assert all(hira.match(r) for r in table.values())
+        assert all(len(c) == 1 for c in K.CHAR_ONYOMI)
         for entries in K.VERB_STEMS.values():
             for reading, allowed in entries:
                 assert hira.match(reading) and hira.match(allowed)
@@ -764,7 +774,8 @@ class TestKanjiReadings:
                 dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
                 assert not dupes, f"{node.target.id} duplicate keys: {dupes}"
                 checked += 1
-        assert checked == 3  # WORD_READINGS, VERB_STEMS, CHAR_READINGS
+        # WORD_READINGS, VERB_STEMS, CHAR_READINGS, CHAR_ONYOMI
+        assert checked == 4
 
     def test_coverage_eval_full_on_proxy_corpus(self):
         # the frequency-weighted proxy corpus (tools/eval_ja_coverage.py)
