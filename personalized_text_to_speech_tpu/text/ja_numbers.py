@@ -216,7 +216,10 @@ _FULLWIDTH = str.maketrans("０１２３４５６７８９．，", "0123456789.,
 _COUNTER_ALT = "|".join(
     sorted(map(re.escape, _COUNTERS), key=len, reverse=True))
 _NUMBER_RE = re.compile(
-    r"(?<![0-9.])(\d{1,3}(?:,\d{3})+|\d+)(?:\.(\d+))?(" + _COUNTER_ALT + r")?")
+    r"(?<![0-9.])(\d{1,3}(?:,\d{3})+|\d+)(?:\.(\d+))?"
+    r"([千万億兆]*)(" + _COUNTER_ALT + r")?")
+_MULT_VALUE = {"千": 1000, "万": 10 ** 4, "億": 10 ** 8, "兆": 10 ** 12}
+_MULT_KANA = {"千": "せん", "万": "まん", "億": "おく", "兆": "ちょう"}
 
 # kanji numerals followed by a counter (三人, 五百円, 二万人); bare kanji
 # numerals are left to the kanji→kana word/char layers
@@ -247,13 +250,31 @@ def kanji_numeral_to_int(s: str) -> int:
 
 
 def _read_match(m: re.Match) -> str:
-    intpart, frac, counter = m.group(1), m.group(2), m.group(3)
+    intpart, frac, mult, counter = m.groups()
     digits = intpart.replace(",", "")
-    if len(digits) > 1 and digits[0] == "0":
+    if len(digits) > 1 and digits[0] == "0" and not mult:
         # leading zeros: read digit-by-digit (codes, phone fragments)
         out = digits_to_kana(digits)
         return out + (_COUNTERS[counter][0] if counter else "")
     value = int(digits)
+    if mult:
+        # digit+multiplier forms (3万円, 1.5万人, 5千): fold the
+        # multiplier into the value when the result stays integral
+        factor = 1
+        for ch in mult:
+            factor *= _MULT_VALUE[ch]
+        if frac is not None:
+            scaled = int(frac) * factor
+            if scaled % (10 ** len(frac)) == 0:
+                value = value * factor + scaled // (10 ** len(frac))
+                frac = None
+            else:  # non-integral (1.23456万): read digits then the unit
+                unit = "".join(_MULT_KANA[ch] for ch in mult)
+                out = (number_to_kana(value) + "てん" + digits_to_kana(frac)
+                       + unit)
+                return out + (_COUNTERS[counter][0] if counter else "")
+        else:
+            value *= factor
     if frac is not None:
         out = number_to_kana(value) + "てん" + digits_to_kana(frac)
         # decimals take the counter's base form, no gemination

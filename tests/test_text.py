@@ -888,6 +888,11 @@ class TestJapaneseNumbers:
         assert N.convert_numbers("090") == "ゼロきゅうゼロ"
         # full-width digits normalize
         assert N.convert_numbers("３つ") == "みっつ"
+        # digit+multiplier forms fold into one value
+        assert N.convert_numbers("3万円") == "さんまんえん"
+        assert N.convert_numbers("1.5万人") == "いちまんごせんにん"
+        assert N.convert_numbers("2兆円") == "にちょうえん"
+        assert N.convert_numbers("100万回") == "ひゃくまんかい"
 
     def test_kanji_numerals_with_counters(self):
         from personalized_text_to_speech_tpu.text import ja_numbers as N
