@@ -176,11 +176,13 @@ _GEMINATE = {
     "h": ("いち", "ろく", "はち", "じゅう") + _HUNDRED_FINALS,
 }
 _FINALS = ("いち", "さん", "よん", "ろく", "なな", "はち", "きゅう",
-           "じゅう", "せん", "ぜん", "に", "ご") + _HUNDRED_FINALS
+           "じゅう", "せん", "ぜん", "まん", "おく", "に", "ご",
+           ) + _HUNDRED_FINALS
+_FINALS_BY_LEN = tuple(sorted(_FINALS, key=len, reverse=True))
 
 
 def _final_component(kana: str) -> Optional[str]:
-    for f in sorted(_FINALS, key=len, reverse=True):
+    for f in _FINALS_BY_LEN:
         if kana.endswith(f):
             return f
     return None
@@ -201,9 +203,10 @@ def counter_reading(value: int, counter: str) -> str:
     if cls and fin in _GEMINATE.get(cls, ()):
         head = _P_SHIFT.get(base[0], base[0]) if cls == "h" else base[0]
         return kana[:-1] + "っ" + head + base[1:]
-    if cls == "h" and fin in ("さん", "よん", "せん", "ぜん"):
-        # default h-counter rendaku after ん (本/匹/杯 list さん
-        # explicitly; 分 overrides both さん and よん to ぷん)
+    if cls == "h" and fin in ("さん", "せん", "ぜん", "まん"):
+        # default h-counter rendaku after the nasal finals さん/せん/ぜん/
+        # まん (さんぼん, せんぼん, いちまんぼん) — but NOT よん
+        # (よんほん); 本/匹/杯 list さん explicitly, 分 overrides to ぷん
         return kana + _B_SHIFT.get(base[0], base[0]) + base[1:]
     return kana + base
 
@@ -232,6 +235,12 @@ _KANJI_NUM_RE = re.compile(
 # "enough" (じゅうぶん), 一日 "one day / all day" (いちにち) — both have
 # word-layer entries; digit forms (10分, 1日) still read as numbers
 _KANJI_NUM_EXCLUDE = {"十分", "一日"}
+
+# positional kanji numerals: a digit run containing 〇 is place-value
+# notation (二〇二四年 = 2024年), not the 十/百/千 compositional form —
+# rewrite to ascii digits and let the number pass read it
+_KANJI_POSITIONAL_RE = re.compile("[〇一二三四五六七八九]*〇[〇一二三四五六七八九]*")
+_KANJI_DIGIT_TRANS = str.maketrans("〇一二三四五六七八九", "0123456789")
 
 
 def kanji_numeral_to_int(s: str) -> int:
@@ -296,5 +305,7 @@ def convert_numbers(text: str) -> str:
     comma groups would be cut at mark boundaries) and before the
     kanji→kana layer (which would read the counter kanji standalone)."""
     text = text.translate(_FULLWIDTH)
+    text = _KANJI_POSITIONAL_RE.sub(
+        lambda m: m.group(0).translate(_KANJI_DIGIT_TRANS), text)
     text = _NUMBER_RE.sub(_read_match, text)
     return _KANJI_NUM_RE.sub(_read_kanji_match, text)

@@ -38,10 +38,10 @@ except Exception:  # pragma: no cover
 
 
 _JAPANESE_CHARACTERS = re.compile(
-    r"[A-Za-z\d々぀-ヿ一-鿿１-９Ａ-Ｚａ-ｚｦ-ﾝ]"
+    r"[A-Za-z\d々〇぀-ヿ一-鿿１-９Ａ-Ｚａ-ｚｦ-ﾝ]"
 )
 _JAPANESE_MARKS = re.compile(
-    r"[^A-Za-z\d々぀-ヿ一-鿿１-９Ａ-Ｚａ-ｚｦ-ﾝ]"
+    r"[^A-Za-z\d々〇぀-ヿ一-鿿１-９Ａ-Ｚａ-ｚｦ-ﾝ]"
 )
 
 _SYMBOLS_TO_JAPANESE = [(re.compile("％"), "パーセント")]
@@ -166,7 +166,7 @@ def _read_acronyms(text: str) -> str:
 # natively through its full dictionary, reference japanese.py:74-112)
 # --------------------------------------------------------------------------
 
-_KANJI_RE = re.compile(r"[一-鿿]")
+_KANJI_RE = re.compile(r"[一-鿿〇]")
 _warned_kanji: set = set()
 
 
@@ -271,7 +271,17 @@ def _kanji_to_kana_tokens(text: str):
             continue
         length, reading = hit
         out.append(reading)
-        intervals.append((pos, pos + len(reading), kind))
+        # adjacent readings with no kana between them form ONE compound
+        # accent phrase (大学生, 研究所, 政府 via per-char on'yomi) —
+        # merge instead of stacking word-starts, which would insert a
+        # phrase break and pitch rise per kanji (sɯ↑i do↑ɯ for 水道).
+        # A trailing stem keeps stem semantics so the okurigana and
+        # endings still fuse (受け取る → うけとる, one span).
+        if intervals and intervals[-1][1] == pos:
+            s, _e, _k = intervals[-1]
+            intervals[-1] = (s, pos + len(reading), kind)
+        else:
+            intervals.append((pos, pos + len(reading), kind))
         pos += len(reading)
         last_reading = reading
         last_was_word = kind == "word"
@@ -348,7 +358,7 @@ _ACCENT_DICT = {
     "あした": 3, "きのう": 2, "でんき": 1,
     "えいが": 1, "おんがく": 1, "くうき": 1, "けしき": 1, "りょうり": 1,
     "かいぎ": 1, "いみ": 1, "かぞく": 1, "りょうしん": 1, "せいと": 1,
-    "かのじょ": 1, "たいよう": 1, "まいにち": 1,
+    "かのじょ": 1, "たいよう": 1,
     "たまご": 2, "くだもの": 2, "こたえ": 2, "じてんしゃ": 2,
     "はれ": 2, "としょかん": 2,
     "べんとう": 3, "くもり": 3,
@@ -658,7 +668,9 @@ _REAL_SOKUON = [(re.compile(p), r) for p, r in [
 _REAL_HATSUON = [(re.compile(p), r) for p, r in [
     (r"N([↑↓]*[pbm])", r"m\1"),
     (r"N([↑↓]*[ʧʥj])", r"n^\1"),
-    (r"N([↑↓]*[tdn])", r"n\1"),
+    # ʦ included for the same pre-substitution reason as the sokuon
+    # table above: the reference sees "Nts" and assimilates on the t
+    (r"N([↑↓]*[tdnʦ])", r"n\1"),
     (r"N([↑↓]*[kg])", r"ŋ\1"),
 ]]
 

@@ -709,6 +709,28 @@ class TestKanjiReadings:
         ipa = japanese.japanese_to_ipa2("東京へ行く")
         assert ipa == "to↑ɯkjoɯe i↑kɯ"
 
+    def test_compounds_are_single_accent_phrases(self):
+        # adjacent per-char readings merge into ONE phrase: no phrase
+        # break or pitch rise per kanji (水道 must not read sɯ↑i do↑ɯ)
+        assert japanese.japanese_to_ipa2("水道") == "sɯ↑idoɯ"
+        assert japanese.japanese_to_ipa2("研究所") == "ke↑ŋkjɯɯʃo"
+        assert japanese.japanese_to_ipa2("大学生になった") == \
+            "da↑igakɯ*sein^i na↑t#ta"
+
+    def test_positional_kanji_numerals(self):
+        # a kanji-digit run containing 〇 is place-value notation
+        assert japanese.kanji_to_kana(
+            japanese._ja_numbers.convert_numbers("二〇二四年")
+        ) == "にせんにじゅうよねん"
+        # 〇 standalone reads まる and is never silently dropped
+        assert japanese.kanji_to_kana("〇") == "まる"
+
+    def test_hatsuon_before_tsu(self):
+        # ん before つ assimilates to n (the reference sees romaji "Nts")
+        assert japanese.japanese_to_ipa2("3通です") == "sa↑ntsɯɯdesɯ*"
+        # and rendaku fires after まん (1万本 → いちまんぼん → …mamboN)
+        assert japanese.japanese_to_ipa2("1万本") == "i↑tʃimamboN"
+
     def test_word_boundaries_reach_the_segmenter(self):
         # readings arrive with their word boundaries: the accent
         # segmenter must not re-split inside a known word (週末 must not
@@ -766,16 +788,31 @@ class TestKanjiReadings:
         import collections
         import inspect
         from personalized_text_to_speech_tpu.text import kanji_kana_data as K
-        tree = ast.parse(inspect.getsource(K))
         checked = 0
-        for node in ast.walk(tree):
-            if isinstance(node, ast.AnnAssign) and isinstance(node.value, ast.Dict):
-                keys = [ast.literal_eval(k) for k in node.value.keys]
-                dupes = [k for k, c in collections.Counter(keys).items() if c > 1]
-                assert not dupes, f"{node.target.id} duplicate keys: {dupes}"
+        for mod in (K, japanese):
+            tree = ast.parse(inspect.getsource(mod))
+            for node in ast.walk(tree):
+                if isinstance(node, ast.AnnAssign):
+                    target, value = node.target, node.value
+                elif isinstance(node, ast.Assign) and len(node.targets) == 1:
+                    target, value = node.targets[0], node.value
+                else:
+                    continue
+                if not (isinstance(value, ast.Dict)
+                        and isinstance(target, ast.Name)
+                        and target.id.isupper()):
+                    continue  # only ALL-CAPS data-table dict literals
+                try:
+                    keys = [ast.literal_eval(k) for k in value.keys]
+                except ValueError:
+                    continue  # computed keys (not a data table)
+                dupes = [k for k, c in
+                         collections.Counter(keys).items() if c > 1]
+                assert not dupes, f"{target.id} duplicate keys: {dupes}"
                 checked += 1
-        # WORD_READINGS, VERB_STEMS, CHAR_READINGS, CHAR_ONYOMI
-        assert checked == 4
+        # WORD_READINGS, VERB_STEMS, CHAR_READINGS, CHAR_ONYOMI + the
+        # japanese.py data dicts (_ACCENT_DICT and friends)
+        assert checked >= 5
 
     def test_coverage_eval_full_on_proxy_corpus(self):
         # the frequency-weighted proxy corpus (tools/eval_ja_coverage.py)
@@ -793,8 +830,7 @@ class TestKanjiReadings:
         standalone = (
             set(K.CHAR_READINGS)
             | {w for w in K.WORD_READINGS if len(w) == 1}
-            | set(K.VERB_STEMS)
-            | {s[0] for s in K.VERB_STEMS if len(s) > 1}
+            | {s for s in K.VERB_STEMS if len(s) == 1}
         )
         missing = [ch for ch in chars if ch not in standalone]
         assert not missing, f"proxy-corpus kanji lost coverage: {missing}"

@@ -77,11 +77,15 @@ def main():
     from personalized_text_to_speech_tpu.text import kanji_kana_data as K
 
     chars, n_ranked = ranked_kanji()
+    # a char counts covered when its TYPICAL occurrence resolves: via a
+    # char default, a single-char word entry, or a single-char verb/adj
+    # stem (whose natural occurrence is conjugated).  First chars of
+    # multi-char stems (泊ま→泊) do NOT resolve alone and need their own
+    # char defaults — crediting them here once inflated the figure.
     standalone = (
         set(K.CHAR_READINGS)
         | {w for w in K.WORD_READINGS if len(w) == 1}
-        | set(K.VERB_STEMS)
-        | {s[0] for s in K.VERB_STEMS if len(s) > 1}
+        | {s for s in K.VERB_STEMS if len(s) == 1}
     )
     context_only = {ch for w in K.WORD_READINGS for ch in w} - standalone
 
