@@ -464,7 +464,8 @@ _LEXICON = {
     "led": "lɛd", "lose": "luz", "lost": "lɔst", "meet": "mit",
     "met": "mɛt", "move": "muv", "moved": "muvd", "offer": "ˈɔfər",
     "pass": "pæs", "pick": "pɪk", "plan": "plæn", "pull": "pʊl",
-    "push": "pʊʃ", "raise": "reɪz", "reach": "riʧ", "return": "rɪˈtərn",
+    "push": "pʊʃ", "raise": "reɪz", "reach": "riʧ", "preach": "priʧ",
+    "return": "rɪˈtərn",
     "rise": "raɪz", "rose": "roʊz", "save": "seɪv", "send": "sɛnd",
     "sent": "sɛnt", "set": "sɛt", "shake": "ʃeɪk", "shook": "ʃʊk",
     "share": "ʃɛr", "shoot": "ʃut", "shot": "ʃɑt", "sign": "saɪn",
@@ -1383,6 +1384,43 @@ def _morph_word(word: str, depth: int = 0):
     return None
 
 
+_COMPOUND_SUFFIX_TAILS = frozenset(
+    ("age", "able", "ably", "ability", "less"))
+
+
+def _compound_word(word: str, depth: int = 0):
+    """IPA for an OOV closed compound whose parts resolve WITHOUT the
+    LTS rules (sourcecode → source+code, datetime → date+time,
+    valueerror → value+error).  The first part must be a direct lexicon
+    hit (≥3 chars, longest split wins so classnames → class+names, not
+    clas+snames); the tail may resolve via the lexicon, morphology, or
+    one further compound split (readthedocs → read+the+docs).  Returns
+    None when no such split exists, leaving the word to LTS."""
+    n = len(word)
+    if n < 6:
+        return None
+    for split in range(n - 3, 2, -1):
+        head = _LEXICON.get(word[:split])
+        if head is None:
+            continue
+        tail_word = word[split:]
+        if tail_word in _COMPOUND_SUFFIX_TAILS:
+            # suffix homographs: shortage is short+-age (ɪʤ), not
+            # short+age (eɪʤ) — the LTS suffix rules own these
+            continue
+        tail = _LEXICON.get(tail_word) or _morph_word(tail_word)
+        if tail is None and depth < 1:
+            tail = _compound_word(tail_word, depth + 1)
+        if tail is not None:
+            # collapse a doubled consonant at the junction
+            # (datetime → deɪtaɪm, bookkeeper → bʊkipər)
+            if (head[-1] == tail[0]
+                    and head[-1] not in "aeiouæɑɔɛɪʊəɜː"):
+                tail = tail[1:]
+            return head + tail
+    return None
+
+
 # letter names for spelling out initialisms; "a"/"i" here are the letter
 # readings (the word readings win elsewhere because spelling only applies
 # to vowel-less tokens, which contain neither)
@@ -1617,7 +1655,8 @@ def _builtin_convert(text: str) -> str:
             parts.append(_spell_out(word))
             continue
         parts.append(
-            _LEXICON.get(word) or _morph_word(word) or _lts_word(word)
+            _LEXICON.get(word) or _morph_word(word)
+            or _compound_word(word) or _lts_word(word)
         )
     return "".join(parts)
 

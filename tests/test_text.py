@@ -1006,7 +1006,8 @@ class TestEnglishFallbackAccuracy:
         rows = self._goldens()
         fails = []
         for word, gold, _ in rows:
-            got = english._morph_word(word) or english._lts_word(word)
+            got = (english._morph_word(word) or english._compound_word(word)
+                   or english._lts_word(word))
             if strip(got) != strip(gold):
                 fails.append((word, gold, got))
         accuracy = 1.0 - len(fails) / len(rows)
@@ -1021,6 +1022,33 @@ class TestEnglishFallbackAccuracy:
         for word, _, resolver in self._goldens():
             if resolver == "morph":
                 assert english._morph_word(word) is not None, word
+
+
+class TestEnglishCompounds:
+    """OOV closed compounds split into lexicon parts instead of LTS
+    (english._compound_word; the reference's eng_to_ipa dictionary has
+    most of these whole, reference text/english.py:160-166)."""
+
+    def test_splits(self):
+        for w, want in [
+            ("sourcecode", "sɔrskoʊd"),
+            ("datetime", "deɪtaɪm"),       # doubled junction t collapses
+            ("dataframe", "deɪtəfreɪm"),
+            ("homepage", "hoʊmpeɪʤ"),
+            ("workspace", "wərkspeɪs"),
+        ]:
+            got = english._compound_word(w)
+            strip = lambda s: s.replace("ˈ", "").replace("ˌ", "")
+            assert got and strip(got) == want, (w, got)
+
+    def test_suffix_homographs_not_split(self):
+        # -age/-able/-less words belong to the LTS suffix rules
+        for w in ["shortage", "linkage", "blockage", "useless"]:
+            assert english._compound_word(w) is None, w
+
+    def test_non_compounds_not_split(self):
+        for w in ["together", "management", "carpet"]:
+            assert english._compound_word(w) is None, w
 
 
 class TestHeteronyms:

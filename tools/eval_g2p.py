@@ -67,8 +67,8 @@ def _strip_stress(ipa: str) -> str:
 
 
 def measure_accuracy(E, verbose=False):
-    """Word-accuracy of the fallback pipeline (morph→LTS) on the goldens.
-    Returns (correct, total, failures)."""
+    """Word-accuracy of the fallback pipeline (morph→compound→LTS) on
+    the goldens.  Returns (correct, total, failures)."""
     correct, total, failures = 0, 0, []
     for word, gold, resolver in load_goldens():
         assert word not in E._LEXICON, (
@@ -76,8 +76,10 @@ def measure_accuracy(E, verbose=False):
             f"fallback path; remove it or pick another word"
         )
         morphed = E._morph_word(word)
-        got = morphed or E._lts_word(word)
-        got_via = "morph" if morphed else "lts"
+        compounded = None if morphed else E._compound_word(word)
+        got = morphed or compounded or E._lts_word(word)
+        got_via = ("morph" if morphed
+                   else "compound" if compounded else "lts")
         total += 1
         if _strip_stress(got) == _strip_stress(gold):
             correct += 1
@@ -126,6 +128,7 @@ def main():
     tokens = WORD_RE.findall(text)[: args.max_words]
     total = 0
     morph_tokens = 0
+    compound_tokens = 0
     spelled_tokens = 0
     miss_tokens = 0
     freq = {}
@@ -144,6 +147,9 @@ def main():
         if E._morph_word(word) is not None:
             morph_tokens += 1  # inflection of a lexicon stem — covered
             continue
+        if E._compound_word(word) is not None:
+            compound_tokens += 1  # closed compound of lexicon parts
+            continue
         miss_tokens += 1
         miss_freq[word] = miss_freq.get(word, 0) + 1
 
@@ -155,6 +161,7 @@ def main():
         "distinct_words": types,
         "lexicon_size": len(E._LEXICON),
         "morph_token_rate": round(morph_tokens / max(total, 1), 4),
+        "compound_token_rate": round(compound_tokens / max(total, 1), 4),
         "spelled_token_rate": round(spelled_tokens / max(total, 1), 4),
         "oov_token_rate": round(miss_tokens / max(total, 1), 4),
         "oov_type_rate": round(miss_types / max(types, 1), 4),
