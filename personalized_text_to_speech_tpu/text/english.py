@@ -1072,6 +1072,21 @@ _LEXICON = {
     "gemini": "ˈʤɛməˌnaɪ", "deepmind": "ˈdipˌmaɪnd",
     "openmp": "ˌoʊpənˌɛmˈpi", "toml": "ˈtɑməl", "nan": "næn",
     "pid": "ˈpɪd",
+    # seventh tranche: contraction remnants (the tokenizer strips
+    # apostrophes, so they're → theyre; LTS mangled these badly) and
+    # measured LTS-error words from tools/eval_g2p.py --top
+    "didnt": "ˈdɪdənt", "arent": "ɑrnt", "wasnt": "ˈwəzənt",
+    "werent": "wərnt", "hasnt": "ˈhæzənt", "havent": "ˈhævənt",
+    "hadnt": "ˈhædənt", "couldnt": "ˈkʊdənt", "wouldnt": "ˈwʊdənt",
+    "shouldnt": "ˈʃʊdənt", "youd": "jud", "youve": "juv",
+    "theyd": "ðeɪd", "theyll": "ðeɪl", "theyve": "ðeɪv",
+    "theyre": "ðɛr", "weve": "wiv", "hes": "hiz", "shes": "ʃiz",
+    "whats": "wɑts", "thats": "ðæts", "im": "aɪm",
+    "bias": "ˈbaɪəs", "suit": "sut", "suitable": "ˈsutəbəl",
+    "determine": "dɪˈtərmɪn", "typo": "ˈtaɪpoʊ",
+    "mantissa": "mænˈtɪsə", "domain": "doʊˈmeɪn",
+    "removal": "rɪˈmuvəl", "goto": "ˈgoʊtu", "derive": "dɪˈraɪv",
+    "rely": "rɪˈlaɪ", "refactor": "riˈfæktər",
     # spelled letter names (lone letters in prose read as letter names;
     # "a" and "i" stay words — their letter readings live in _LETTER_NAMES)
     "b": "bi",
