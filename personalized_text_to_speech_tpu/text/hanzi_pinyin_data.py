@@ -547,6 +547,13 @@ _ENTRIES_SUPP2 = """
 瑰gui1 弧hu2 浣huan4 拙zhuo1 韬tao1 祷dao3 熄xi1 炖dun4 灞ba4
 """
 
+# --- simplified targets of the traditional→simplified folding table
+# (hanzi_trad_data.py) not previously covered ---------------------------
+_ENTRIES_SUPP3 = """
+壹yi1 贰er4 娄lou2 娅ya4 姗shan1 垭ya1 挚zhi4 怆chuang4 呗bei4 珏jue2
+皑ai2 砚yan4 備bei4 腑fu3
+"""
+
 _TOKEN = re.compile(r"([一-鿿])([a-z]+[1-5])")
 
 
@@ -554,7 +561,7 @@ def load_hanzi_pinyin() -> Dict[str, str]:
     """Parse the embedded entry blocks → {hanzi: 'pinyin+tone'}."""
     table: Dict[str, str] = {}
     for block in (_ENTRIES, _ENTRIES_H_M, _ENTRIES_N_S, _ENTRIES_T_Z,
-                  _ENTRIES_SUPP, _ENTRIES_SUPP2):
+                  _ENTRIES_SUPP, _ENTRIES_SUPP2, _ENTRIES_SUPP3):
         for ch, py in _TOKEN.findall(block):
             table.setdefault(ch, py)
     return table

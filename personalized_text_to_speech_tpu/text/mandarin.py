@@ -286,6 +286,10 @@ for _ch, _py in _load_hanzi_pinyin().items():
     _HANZI_PINYIN.setdefault(_ch, _py)
 _WORD_PINYIN: Dict[str, List[str]] = _load_word_pinyin()
 
+from personalized_text_to_speech_tpu.text.hanzi_trad_data import (  # noqa: E402
+    TRAD_TO_SIMP as _TRAD_TO_SIMP,
+)
+
 import logging as _logging  # noqa: E402
 
 _logger = _logging.getLogger(__name__)
@@ -477,6 +481,13 @@ def chinese_to_bopomofo(
     if erhua is None:
         erhua = _erhua_enabled
     text = text.replace("、", "，").replace("；", "，").replace("：", "，")
+    if _lazy_pinyin is None:
+        # builtin fallback only: fold traditional variants onto the
+        # simplified forms the embedded table is keyed on (準備→准备);
+        # identity on simplified text, and BEFORE segmentation so the
+        # (simplified) jieba dictionary segments traditional input too.
+        # pypinyin reads traditional natively — its path stays untouched.
+        text = "".join(_TRAD_TO_SIMP.get(ch, ch) for ch in text)
     if _jieba is not None:
         words = _jieba.lcut(text, cut_all=False)
     else:

@@ -351,6 +351,42 @@ class TestCleaners:
         assert cleaners.detect_language("안녕") == "KO"
 
 
+class TestTraditionalChinese:
+    """Traditional input folds onto the simplified table in the builtin
+    fallback (text/hanzi_trad_data.py; the reference reads traditional
+    through pypinyin's own dictionary, reference text/mandarin.py:243-257)."""
+
+    PAIRS = [
+        ("準備好了", "准备好了"),
+        ("我們來學習中文", "我们来学习中文"),
+        ("這個問題很複雜", "这个问题很复杂"),
+        ("他說他沒有時間", "他说他没有时间"),
+        ("經濟發展與環境保護", "经济发展与环境保护"),
+        ("電腦和手機都壞了", "电脑和手机都坏了"),
+    ]
+
+    def test_traditional_equals_simplified(self):
+        for trad, simp in self.PAIRS:
+            assert mandarin.chinese_to_ipa(trad) == \
+                mandarin.chinese_to_ipa(simp), trad
+
+    def test_simplified_text_is_untouched(self):
+        # folding is the identity on simplified text (byte-parity with
+        # reference-trained checkpoints)
+        from personalized_text_to_speech_tpu.text.hanzi_trad_data import (
+            TRAD_TO_SIMP)
+        simp_chars = set("".join(s for _, s in self.PAIRS))
+        assert not (simp_chars & set(TRAD_TO_SIMP))
+
+    def test_table_hygiene(self):
+        from personalized_text_to_speech_tpu.text.hanzi_trad_data import (
+            TRAD_TO_SIMP)
+        # every fold target must have a pinyin reading, no identity pairs
+        for trad, simp in TRAD_TO_SIMP.items():
+            assert simp in mandarin._HANZI_PINYIN, (trad, simp)
+            assert trad != simp
+
+
 class TestMandarinWithoutJieba:
     def test_per_char_fallback(self, monkeypatch):
         from personalized_text_to_speech_tpu.text import mandarin
