@@ -720,6 +720,12 @@ class TestKanjiReadings:
         # 々 iteration mark: word entries carry rendaku, fallback repeats
         ("人々", "ひとびと"),
         ("山々", "やまやま"),
+        # 何+counter question words read なん with euphonics; standalone
+        # 何 stays なに
+        ("何時ですか", "なんじですか"),
+        ("何人いますか", "なんにんいますか"),
+        ("何本ありますか", "なんぼんありますか"),
+        ("何を食べる", "なにをたべる"),
         # compound context: OOV two-kanji words concatenate bound
         # on'yomi; the same chars standalone keep their kun defaults
         ("水道", "すいどう"),
