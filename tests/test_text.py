@@ -737,6 +737,20 @@ class TestKanjiReadings:
         ("水と名前", "みずとなまえ"),
     ]
 
+    def test_udhr_article1(self):
+        # external real-text fixture (UDHR art. 1, as shipped in scipy's
+        # test data): every content word must read correctly
+        text = ("すべての人間は、生まれながらにして自由であり、かつ、"
+                "尊厳と権利とについて平等である。人間は、理性と良心とを"
+                "授けられており、互いに同胞の精神をもって行動しなければ"
+                "ならない。")
+        want = ("すべてのにんげんは、うまれながらにしてじゆうであり、"
+                "かつ、そんげんとけんりとについてびょうどうである。"
+                "にんげんは、りせいとりょうしんとをさずけられており、"
+                "たがいにどうほうのせいしんをもってこうどうしなければ"
+                "ならない。")
+        assert japanese.kanji_to_kana(text) == want
+
     def test_kana_goldens(self):
         bad = {}
         for text, want in self.KANA_GOLDENS:
