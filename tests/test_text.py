@@ -737,6 +737,75 @@ class TestKanjiReadings:
         ("水と名前", "みずとなまえ"),
     ]
 
+    # 178-word everyday-compound audit (round 4 cont.): all hand-verified;
+    # 69 misread before the audit tranche (wrong on'yomi picks like
+    # 人間→じんかん, missing chars, gemination/rendaku/kun compounds)
+    COMPOUND_AUDIT = {
+        "先生": "せんせい", "電話": "でんわ", "時計": "とけい",
+        "天気": "てんき", "料金": "りょうきん", "旅行": "りょこう",
+        "野球": "やきゅう", "映画": "えいが", "音楽": "おんがく",
+        "写真": "しゃしん", "新聞": "しんぶん", "辞書": "じしょ",
+        "窓口": "まどぐち", "切符": "きっぷ", "時間": "じかん",
+        "毎日": "まいにち", "去年": "きょねん", "台風": "たいふう",
+        "地図": "ちず", "道路": "どうろ", "鉄道": "てつどう",
+        "自動車": "じどうしゃ", "自転車": "じてんしゃ",
+        "飛行機": "ひこうき", "新幹線": "しんかんせん",
+        "電車": "でんしゃ", "駐車": "ちゅうしゃ", "横断": "おうだん",
+        "信号": "しんごう", "交差点": "こうさてん",
+        "曲がり角": "まがりかど", "消防": "しょうぼう",
+        "救急": "きゅうきゅう", "警察": "けいさつ", "泥棒": "どろぼう",
+        "火事": "かじ", "地震": "じしん", "津波": "つなみ",
+        "洪水": "こうずい", "天災": "てんさい", "戦争": "せんそう",
+        "平和": "へいわ", "政府": "せいふ", "国会": "こっかい",
+        "選挙": "せんきょ", "投票": "とうひょう", "法律": "ほうりつ",
+        "裁判": "さいばん", "会社": "かいしゃ", "社長": "しゃちょう",
+        "部長": "ぶちょう", "課長": "かちょう", "社員": "しゃいん",
+        "給料": "きゅうりょう", "残業": "ざんぎょう",
+        "出張": "しゅっちょう", "会議": "かいぎ", "書類": "しょるい",
+        "名刺": "めいし", "電卓": "でんたく", "銀行": "ぎんこう",
+        "貯金": "ちょきん", "経済": "けいざい", "物価": "ぶっか",
+        "値段": "ねだん", "無料": "むりょう", "有料": "ゆうりょう",
+        "割引": "わりびき", "税金": "ぜいきん", "買物": "かいもの",
+        "店員": "てんいん", "客": "きゃく", "商品": "しょうひん",
+        "品物": "しなもの", "食料": "しょくりょう", "野菜": "やさい",
+        "果物": "くだもの", "牛肉": "ぎゅうにく", "豚肉": "ぶたにく",
+        "鶏肉": "とりにく", "魚屋": "さかなや", "八百屋": "やおや",
+        "本屋": "ほんや", "薬局": "やっきょく", "病院": "びょういん",
+        "医者": "いしゃ", "看護": "かんご", "注射": "ちゅうしゃ",
+        "熱心": "ねっしん", "元気": "げんき", "病気": "びょうき",
+        "怪我": "けが", "薬": "くすり", "健康": "けんこう",
+        "運動": "うんどう", "散歩": "さんぽ", "柔道": "じゅうどう",
+        "剣道": "けんどう", "卓球": "たっきゅう", "登山": "とざん",
+        "趣味": "しゅみ", "読書": "どくしょ", "茶道": "さどう",
+        "料理": "りょうり", "掃除": "そうじ", "洗濯": "せんたく",
+        "炊事": "すいじ", "食事": "しょくじ", "夕飯": "ゆうはん",
+        "弁当": "べんとう", "学校": "がっこう", "教室": "きょうしつ",
+        "黒板": "こくばん", "宿題": "しゅくだい", "試験": "しけん",
+        "合格": "ごうかく", "入学": "にゅうがく", "卒業": "そつぎょう",
+        "留学": "りゅうがく", "教育": "きょういく", "数学": "すうがく",
+        "科学": "かがく", "歴史": "れきし", "英語": "えいご",
+        "国語": "こくご", "作文": "さくぶん", "文章": "ぶんしょう",
+        "文字": "もじ", "言葉": "ことば", "文法": "ぶんぽう",
+        "意味": "いみ", "翻訳": "ほんやく", "通訳": "つうやく",
+        "外国": "がいこく", "外人": "がいじん", "国際": "こくさい",
+        "世界": "せかい", "地球": "ちきゅう", "宇宙": "うちゅう",
+        "太陽": "たいよう", "天国": "てんごく", "地獄": "じごく",
+        "神様": "かみさま", "仏教": "ぶっきょう", "神社": "じんじゃ",
+        "寺院": "じいん", "教会": "きょうかい", "結婚": "けっこん",
+        "離婚": "りこん", "恋愛": "れんあい", "夫婦": "ふうふ",
+        "家族": "かぞく", "親子": "おやこ", "兄弟": "きょうだい",
+        "姉妹": "しまい", "親戚": "しんせき", "祖父": "そふ",
+        "祖母": "そぼ", "両親": "りょうしん",
+    }
+
+    def test_compound_audit(self):
+        bad = {}
+        for w, want in self.COMPOUND_AUDIT.items():
+            got = japanese.kanji_to_kana(w)
+            if got != want:
+                bad[w] = (got, want)
+        assert not bad, f"compound audit misreads: {bad}"
+
     def test_udhr_article1(self):
         # external real-text fixture (UDHR art. 1, as shipped in scipy's
         # test data): every content word must read correctly
