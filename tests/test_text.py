@@ -386,6 +386,16 @@ class TestTraditionalChinese:
             assert simp in mandarin._HANZI_PINYIN, (trad, simp)
             assert trad != simp
 
+    def test_dual_use_characters_not_folded(self):
+        # 著 (著名 zhù) and 乾 (乾隆 qián) are legitimate simplified
+        # characters — folding them would corrupt simplified text; they
+        # carry direct pinyin entries instead
+        from personalized_text_to_speech_tpu.text.hanzi_trad_data import (
+            TRAD_TO_SIMP)
+        for ch, py in [("著", "zhu4"), ("乾", "qian2")]:
+            assert ch not in TRAD_TO_SIMP
+            assert mandarin._HANZI_PINYIN[ch] == py
+
 
 class TestMandarinWithoutJieba:
     def test_per_char_fallback(self, monkeypatch):
