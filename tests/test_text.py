@@ -808,6 +808,53 @@ class TestKanjiReadings:
         "祖母": "そぼ", "両親": "りょうしん",
     }
 
+    # 71-form verb-conjugation audit: stems must fire across the full
+    # okurigana range incl. compound verbs (思い出す, 引っ越す, 受け取る)
+    VERB_AUDIT = {
+        "書きます": "かきます", "読んだ": "よんだ", "飲んで": "のんで",
+        "話しました": "はなしました", "聞いています": "きいています",
+        "買いたい": "かいたい", "会いましょう": "あいましょう",
+        "使わない": "つかわない", "思った": "おもった",
+        "言われた": "いわれた", "笑って": "わらって",
+        "歌えば": "うたえば", "立って": "たって", "待って": "まって",
+        "持っている": "もっている", "帰ります": "かえります",
+        "作られた": "つくられた", "乗って": "のって",
+        "取った": "とった", "売れる": "うれる",
+        "送ります": "おくります", "走った": "はしった",
+        "知らない": "しらない", "座ってください": "すわってください",
+        "渡して": "わたして", "入りました": "はいりました",
+        "出しました": "だしました", "出ます": "でます",
+        "泳げる": "およげる", "急いで": "いそいで", "泣いた": "ないた",
+        "歩きましょう": "あるきましょう",
+        "働いています": "はたらいています", "遊んだ": "あそんだ",
+        "呼ばれて": "よばれて", "飛んで": "とんで",
+        "休みたい": "やすみたい", "住んでいる": "すんでいる",
+        "死んだ": "しんだ", "頑張って": "がんばって",
+        "登りました": "のぼりました", "降っています": "ふっています",
+        "払いました": "はらいました", "洗って": "あらって",
+        "習いたい": "ならいたい", "通っている": "かよっている",
+        "消して": "けして", "押して": "おして", "返します": "かえします",
+        "探しています": "さがしています", "置いて": "おいて",
+        "引いて": "ひいて", "咲いた": "さいた", "動かない": "うごかない",
+        "驚いた": "おどろいた", "届きました": "とどきました",
+        "選んで": "えらんで", "運びます": "はこびます",
+        "並んで": "ならんで", "学んだ": "まなんだ",
+        "頼みました": "たのみました", "進んで": "すすんで",
+        "食べられる": "たべられる", "見られる": "みられる",
+        "来られる": "こられる", "思い出す": "おもいだす",
+        "落ち着く": "おちつく", "引っ越す": "ひっこす",
+        "申し込む": "もうしこむ", "受け取る": "うけとる",
+        "取り替える": "とりかえる",
+    }
+
+    def test_verb_conjugation_audit(self):
+        bad = {}
+        for w, want in self.VERB_AUDIT.items():
+            got = japanese.kanji_to_kana(w)
+            if got != want:
+                bad[w] = (got, want)
+        assert not bad, f"verb audit misreads: {bad}"
+
     def test_compound_audit(self):
         bad = {}
         for w, want in self.COMPOUND_AUDIT.items():
