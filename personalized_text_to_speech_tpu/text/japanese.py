@@ -83,8 +83,20 @@ _KANA_YOON = {
     "ぢゃ": "ja", "ぢゅ": "ju", "ぢょ": "jo",
     "びゃ": "bya", "びゅ": "byu", "びょ": "byo",
     "ぴゃ": "pya", "ぴゅ": "pyu", "ぴょ": "pyo",
+    # loanword combinations (ティ/ディ/ファ行/ウィ行/チェ/シェ/ジェ)
+    "てぃ": "ti", "でぃ": "di", "とぅ": "tu", "どぅ": "du",
+    "ふぁ": "fa", "ふぃ": "fi", "ふぇ": "fe", "ふぉ": "fo",
+    "うぃ": "wi", "うぇ": "we", "うぉ": "wo",
+    "ちぇ": "ʧe", "しぇ": "ʃe", "じぇ": "je",
+    "ゔぁ": "ba", "ゔぃ": "bi", "ゔぇ": "be", "ゔぉ": "bo",
 }
 _VOWELS = "aiueo"
+
+# o-final verb stems whose dictionary-form う is NOT a long vowel
+# (思う [omoɯ], not [omoː]); keyed by the two kana before the う.
+# 追う/問う are ambiguous with 王/塔-style long vowels and far rarer —
+# they stay long.
+_OU_VERB_STEMS = frozenset(("おも",))
 
 
 def _kata_to_hira(text: str) -> str:
@@ -101,7 +113,13 @@ def _kata_to_hira(text: str) -> str:
 def _kana_to_moras(text: str) -> list:
     """Hiragana/katakana → list of openjtalk-style phoneme strings, ONE
     PER MORA (yoon merges with its base kana; っ/ん/ー are their own
-    moras — the units Tokyo pitch accent counts)."""
+    moras — the units Tokyo pitch accent counts).
+
+    Tokyo long-vowel normalization, matching openjtalk's lexicon forms
+    (東京→トーキョー emits "o o", 先生→センセー emits "e e"): う after an
+    o-vowel mora reads o, い after an e-vowel mora reads e.  Exception:
+    the u-verbs whose stem ends in お (思う/追う/問う) keep the real
+    [oɯ] — their う is the dictionary-form okurigana, not a long vowel."""
     text = _kata_to_hira(text)
     out = []
     i = 0
@@ -123,7 +141,15 @@ def _kana_to_moras(text: str) -> list:
             i += 1
             continue
         if ch in _KANA_BASE:
-            out.append(_KANA_BASE[ch])
+            mora = _KANA_BASE[ch]
+            if out and out[-1]:
+                prev_v = out[-1][-1]
+                if mora == "u" and prev_v == "o" and \
+                        text[max(0, i - 2):i] not in _OU_VERB_STEMS:
+                    mora = "o"
+                elif mora == "i" and prev_v == "e":
+                    mora = "e"
+            out.append(mora)
             i += 1
             continue
         out.append(ascii_fold(ch))

@@ -300,7 +300,7 @@ class TestJapanese:
         assert romaji.startswith("a↓mega ")
         # 先生(3)+です rides one phrase after the わたしは phrase
         romaji = japanese.japanese_to_romaji_with_accent("わたしはせんせいです")
-        assert "se↑Nse↓idesU" in romaji.replace(" ", " ")  # devoiced final す
+        assert "se↑Nse↓edesU" in romaji.replace(" ", " ")  # devoiced final す
 
 
 class TestKorean:
@@ -641,22 +641,22 @@ class TestJapaneseAccentGoldens:
         ("にほんは", "ni↑ho↓Nwa"),
         ("こころが", "ko↑ko↓roga"),
         ("みせに", "mi↑se↓ni"),
-        ("せんせいが", "se↑Nse↓iga"),
+        ("せんせいが", "se↑Nse↓ega"),
         ("おとこが", "o↑toko↓ga"),
         ("おんなが", "o↑Nna↓ga"),
         ("だいがくは", "da↑iga↓kuwa"),
         ("ことばが", "ko↑toba↓ga"),
-        ("おとうとが", "o↑touto↓ga"),
-        ("いもうとが", "i↑mouto↓ga"),
-        ("こうえんまで", "ko↑ue↓Nmade"),
+        ("おとうとが", "o↑tooto↓ga"),
+        ("いもうとが", "i↑mooto↓ga"),
+        ("こうえんまで", "ko↑oe↓Nmade"),
         # heiban (type 0): rise after mora 1, no fall anywhere
         ("わたしが", "wa↑taʃiga"),
         ("さくらが", "sa↑kuraga"),
-        ("とけいが", "to↑keiga"),
+        ("とけいが", "to↑keega"),
         ("みずを", "mi↑zuo"),
         ("ごはんを", "go↑haNo"),
         ("ともだちと", "to↑modaʧIto"),
-        ("がっこうへ", "ga↑Qkoue"),
+        ("がっこうへ", "ga↑Qkooe"),
     ]
 
     # round-4 continuation: topic は / direction へ after OUT-OF-DICTIONARY
@@ -665,7 +665,7 @@ class TestJapaneseAccentGoldens:
     # _ACCENT_DICT, たかい/いく are)
     OOV_SUBJECT_GOLDENS = [
         ("すしはたかい", "sU↑ʃiwa ta↑ka↓i"),
-        ("とうきょうへいく", "to↑ukyoue i↑ku"),
+        ("とうきょうへいく", "to↑okyooe i↑ku"),
         ("これはあたらしい", "ko↑rewa a↑taraʃi↓i"),
         # はは (mother) is a dictionary word: its final は must NOT be
         # rewritten, while a particle after it still reads わ
@@ -889,15 +889,15 @@ class TestKanjiReadings:
         # kanji text now produces full phoneme strings (previously only
         # the kana survived: 東京へ行く -> '↑heku')
         ipa = japanese.japanese_to_ipa2("東京へ行く")
-        assert ipa == "to↑ɯkjoɯe i↑kɯ"
+        assert ipa == "to↑okjooe i↑kɯ"
 
     def test_compounds_are_single_accent_phrases(self):
         # adjacent per-char readings merge into ONE phrase: no phrase
         # break or pitch rise per kanji (水道 must not read sɯ↑i do↑ɯ)
-        assert japanese.japanese_to_ipa2("水道") == "sɯ↑idoɯ"
+        assert japanese.japanese_to_ipa2("水道") == "sɯ↑idoo"
         assert japanese.japanese_to_ipa2("研究所") == "ke↑ŋkjɯɯʃo"
         assert japanese.japanese_to_ipa2("大学生になった") == \
-            "da↑igakɯ*sein^i na↑t#ta"
+            "da↑igakɯ*seen^i na↑t#ta"
 
     def test_positional_kanji_numerals(self):
         # a kanji-digit run containing 〇 is place-value notation
@@ -926,7 +926,7 @@ class TestKanjiReadings:
             assert len(phrases) <= 1, (w, phrases)
         # the polite suffix must not split after an ichidan stem
         assert japanese.japanese_to_ipa2("映画を見ます") == \
-            "e↓igao mi↑masɯ*"  # final す devoiced
+            "e↓egao mi↑masɯ*"  # final す devoiced
         # kana-initial word keys match (the word layer runs at every
         # position, not only at kanji)
         assert japanese.kanji_to_kana("お金") == "おかね"
@@ -1127,6 +1127,19 @@ class TestJapaneseNumbers:
         assert japanese.kanji_to_kana("十分") == "じゅうぶん"
         assert japanese.kanji_to_kana("一日") == "いちにち"
 
+    def test_tokyo_long_vowel_normalization(self):
+        # おう→oo and えい→ee, matching openjtalk's lexicon forms
+        # (東京→トーキョー emits "o o", 先生→センセー emits "e e")
+        assert japanese.japanese_to_ipa2("経済") == "ke↑ezai"
+        assert japanese.japanese_to_ipa2("時計") == "to↑kee"
+        assert japanese.japanese_to_ipa2("そうですね") == "so↑odesɯne"
+        assert japanese.japanese_to_ipa2("行こう") == "i↑koo"
+        # u-verbs whose stem ends in お keep the real [oɯ]
+        assert japanese.japanese_to_ipa2("思う") == "o↑mo↓ɯ"
+        # loanword kana combos are single moras (ティ=ti, ファ=fa)
+        assert japanese.japanese_to_ipa2("パーティー") == "pa↑atii"
+        assert "ɸa" in japanese.japanese_to_ipa2("ファン")
+
     def test_latin_acronyms(self):
         # uppercase runs read as Japanese letter names in the fallback
         # (openjtalk reads letters natively); lowercase-continued words
@@ -1137,11 +1150,11 @@ class TestJapaneseNumbers:
         assert japanese._read_acronyms("Hello") == "Hello"
         assert japanese._read_acronyms("ＮＨＫ") == "えぬえいちけー"
         ipa = japanese.japanese_to_ipa2("TPUで3倍速い")
-        assert ipa == "te↑iipiijɯɯdesambai ha↑ja↓i"
+        assert ipa == "ti↑ipiijɯɯdesambai ha↑ja↓i"
 
     def test_end_to_end_ipa(self):
         assert japanese.japanese_to_ipa2("3時に会いましょう") == \
-            "sa↑n^dʑin^iaimaʃoɯ"
+            "sa↑n^dʑin^iaimaʃoo"
         # っつ sokuon from native numerals: Q+ʦ now assimilates, and ipa2
         # lowers ʦ back to the reference's "ts" spelling (ʦ is not in the
         # cjke symbol vocab; the ts→ʦ rewrite is v1-only)
