@@ -847,6 +847,22 @@ class TestKanjiReadings:
         "取り替える": "とりかえる",
     }
 
+    def test_surname_and_place_audit(self):
+        # kun-reading name compounds would otherwise hit the on'yomi
+        # compound layer (田中→でんちゅう); 81 of 85 surnames misread
+        # before the tranche
+        from personalized_text_to_speech_tpu.text import (
+            kanji_kana_data as K)
+        samples = {
+            "佐藤": "さとう", "鈴木": "すずき", "高橋": "たかはし",
+            "田中": "たなか", "渡辺": "わたなべ", "長谷川": "はせがわ",
+            "佐々木": "ささき", "北海道": "ほっかいどう",
+            "名古屋": "なごや", "横浜": "よこはま", "富士山": "ふじさん",
+            "田中さんは東京にいます": "たなかさんはとうきょうにいます",
+        }
+        for w, want in samples.items():
+            assert japanese.kanji_to_kana(w) == want, w
+
     def test_verb_conjugation_audit(self):
         bad = {}
         for w, want in self.VERB_AUDIT.items():
