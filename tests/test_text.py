@@ -1060,6 +1060,79 @@ class TestKanjiReadings:
         assert not bad, f"tranche readings mismatched: {bad}"
 
 
+class TestOpenjtalkBranch:
+    """Stub-execute the pyopenjtalk accent path (reference
+    text/japanese.py:74-112) with crafted full-context labels — the
+    library is not installed here, so this branch was never run in CI.
+    Verifies the label parsing and the reference's arrow/boundary rules:
+    ↓ when a1==0 and the next mora index increments, ↑ after mora 1,
+    space at a phrase-final mora (a3==1) before a new phrase."""
+
+    @staticmethod
+    def _label(ph, a1, a2, a3):
+        return f"xx^xx-{ph}+xx=xx/A:{a1}+{a2}+{a3}/B:xx"
+
+    def _stub(self, labels):
+        class Stub:
+            @staticmethod
+            def extract_fullcontext(sentence):
+                return labels
+        return Stub
+
+    def test_heiban_rise(self, monkeypatch):
+        L = self._label
+        labels = [
+            L("sil", 9, 0, 0),
+            L("s", 9, 1, 3), L("a", 9, 1, 3),
+            L("k", 9, 2, 2), L("u", 9, 2, 2),
+            L("r", 9, 3, 1), L("a", 9, 3, 1),
+            L("sil", 9, 0, 0),
+        ]
+        monkeypatch.setattr(japanese, "_pyopenjtalk", self._stub(labels))
+        assert japanese.japanese_to_romaji_with_accent("さくら") == "sa↑kura"
+
+    def test_atamadaka_fall(self, monkeypatch):
+        L = self._label
+        labels = [
+            L("sil", 9, 0, 0),
+            L("h", 0, 1, 2), L("a", 0, 1, 2),
+            L("sh", 1, 2, 1), L("i", 1, 2, 1),
+            L("sil", 9, 0, 0),
+        ]
+        monkeypatch.setattr(japanese, "_pyopenjtalk", self._stub(labels))
+        assert japanese.japanese_to_romaji_with_accent("はし") == "ha↓ʃi"
+
+    def test_phrase_boundary_and_special_phonemes(self, monkeypatch):
+        L = self._label
+        labels = [
+            L("sil", 9, 0, 0),
+            # phrase 1: あめ, type 1 (fall after mora 1, boundary after)
+            L("a", 0, 1, 2),
+            L("m", 1, 2, 1), L("e", 1, 2, 1),
+            # phrase 2: ふる, heiban (rise after mora 1)
+            L("f", 9, 1, 2), L("u", 9, 1, 2),
+            L("r", 9, 2, 1), L("u", 9, 2, 1),
+            L("sil", 9, 0, 0),
+        ]
+        monkeypatch.setattr(japanese, "_pyopenjtalk", self._stub(labels))
+        assert japanese.japanese_to_romaji_with_accent("あめふる") == \
+            "a↓me fu↑ru"
+
+    def test_cl_ch_sh_substitutions(self, monkeypatch):
+        L = self._label
+        labels = [
+            L("sil", 9, 0, 0),
+            L("m", 9, 1, 3), L("a", 9, 1, 3),
+            L("cl", 9, 2, 2),
+            L("ch", 9, 3, 1), L("a", 9, 3, 1),
+            L("sil", 9, 0, 0),
+        ]
+        monkeypatch.setattr(japanese, "_pyopenjtalk", self._stub(labels))
+        # cl→Q, ch→ʧ; the sokuon rule then assimilates Q before ʧ
+        out = japanese.japanese_to_ipa2("まっちゃ")
+        assert out == "ma↑t#tʃa"
+
+
 class TestJapaneseNumbers:
     """Number → kana reading for the JA fallback (text/ja_numbers.py).
     The reference delegates digits to pyopenjtalk's normalization
