@@ -1133,6 +1133,43 @@ class TestOpenjtalkBranch:
         assert out == "ma↑t#tʃa"
 
 
+class TestOptionalDependencyBranches:
+    """Stub-execute the eng_to_ipa and pypinyin branches (reference
+    text/english.py:160-166, text/mandarin.py:243-257) — neither library
+    is installed here, so these paths were never run in CI."""
+
+    def test_eng_to_ipa_branch(self, monkeypatch):
+        class Stub:
+            @staticmethod
+            def convert(text):
+                # eng_to_ipa marks OOV words with a trailing asterisk
+                return "hɛˈloʊ zzyx* wərld"
+        monkeypatch.setattr(english, "_eng_to_ipa", Stub)
+        out = english.english_to_ipa("Hello zzyx world")
+        assert out == "hɛˈloʊ zzyx wərld"  # OOV marker stripped
+        # the ipa2 substitutions apply on top of the dictionary output
+        out2 = english.english_to_ipa2("Hello zzyx world")
+        assert "ɹ" in out2 and "*" not in out2
+
+    def test_pypinyin_branch(self, monkeypatch):
+        calls = []
+
+        def fake_lazy_pinyin(word, style=None):
+            calls.append((word, style))
+            return ["ㄋㄧˇ", "ㄏㄠ"]  # second syllable: bare 1st tone
+
+        class FakeStyle:
+            BOPOMOFO = "BOPOMOFO"
+
+        monkeypatch.setattr(mandarin, "_lazy_pinyin", fake_lazy_pinyin)
+        monkeypatch.setattr(mandarin, "_PinyinStyle", FakeStyle)
+        sylls = mandarin._word_to_bopomofo("你好")
+        # pypinyin leaves 1st tone unmarked; ˉ appended like the reference
+        assert sylls == ["ㄋㄧˇ", "ㄏㄠˉ"]
+        assert calls == [("你好", "BOPOMOFO")]
+        assert mandarin.hanzi_available()
+
+
 class TestJapaneseNumbers:
     """Number → kana reading for the JA fallback (text/ja_numbers.py).
     The reference delegates digits to pyopenjtalk's normalization
