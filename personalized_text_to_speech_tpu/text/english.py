@@ -1401,6 +1401,10 @@ def _morph_word(word: str, depth: int = 0):
 
 _COMPOUND_SUFFIX_TAILS = frozenset(
     ("age", "able", "ably", "ability", "less"))
+# junction letter pairs that spell one sound — a split across them is
+# orthographically implausible. sh is deliberately absent: s|h junctions
+# are usually real (dishonest, mishandle).
+_JUNCTION_DIGRAPHS = frozenset(("th", "wh", "ph", "gh", "ch"))
 
 
 def _compound_word(word: str, depth: int = 0):
@@ -1422,6 +1426,10 @@ def _compound_word(word: str, depth: int = 0):
         if tail_word in _COMPOUND_SUFFIX_TAILS:
             # suffix homographs: shortage is short+-age (ɪʤ), not
             # short+age (eɪʤ) — the LTS suffix rules own these
+            continue
+        if word[split - 1] + word[split] in _JUNCTION_DIGRAPHS:
+            # the junction letters spell a digraph: nowhere is not
+            # now+here, heather is not heat+her
             continue
         tail = _LEXICON.get(tail_word) or _morph_word(tail_word)
         if tail is None and depth < 1:

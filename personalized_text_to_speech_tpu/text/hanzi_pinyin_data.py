@@ -547,11 +547,13 @@ _ENTRIES_SUPP2 = """
 瑰gui1 弧hu2 浣huan4 拙zhuo1 韬tao1 祷dao3 熄xi1 炖dun4 灞ba4
 """
 
-# --- simplified targets of the traditional→simplified folding table
-# (hanzi_trad_data.py) not previously covered ---------------------------
+# --- round-4 (cont.) supplement: simplified targets of the
+# traditional→simplified fold (hanzi_trad_data.py) not previously
+# covered, plus standalone additions from the coverage tail (壹 from
+# the numeral pair 壹/貳, 腑 a real char among the mojibake) -----------
 _ENTRIES_SUPP3 = """
 壹yi1 贰er4 娄lou2 娅ya4 姗shan1 垭ya1 挚zhi4 怆chuang4 呗bei4 珏jue2
-皑ai2 砚yan4 備bei4 腑fu3
+皑ai2 砚yan4 腑fu3
 """
 
 _TOKEN = re.compile(r"([一-鿿])([a-z]+[1-5])")

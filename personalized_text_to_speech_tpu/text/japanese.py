@@ -93,10 +93,15 @@ _KANA_YOON = {
 _VOWELS = "aiueo"
 
 # o-final verb stems whose dictionary-form う is NOT a long vowel
-# (思う [omoɯ], not [omoː]); keyed by the two kana before the う.
-# 追う/問う are ambiguous with 王/塔-style long vowels and far rarer —
-# they stay long.
-_OU_VERB_STEMS = frozenset(("おも",))
+# (思う [omoɯ], 通う [kajoɯ] — not [omoː]); keyed by the two kana
+# before the う.  拾う/披露 are kana-identical with opposite values and
+# 追う/問う collide with 王/塔-style long vowels — those stay long.
+_OU_VERB_STEMS = frozenset(("おも", "かよ", "まよ", "さそ"))
+
+# kana that continue an いる-conjugation after て/で: the い of the
+# progressive (食べている, 住んでいます) is a morpheme of its own and
+# must not merge into a long e
+_TE_IRU_CONT = frozenset("るまたてなれよ")
 
 
 def _kata_to_hira(text: str) -> str:
@@ -117,13 +122,23 @@ def _kana_to_moras(text: str) -> list:
 
     Tokyo long-vowel normalization, matching openjtalk's lexicon forms
     (東京→トーキョー emits "o o", 先生→センセー emits "e e"): う after an
-    o-vowel mora reads o, い after an e-vowel mora reads e.  Exception:
-    the u-verbs whose stem ends in お (思う/追う/問う) keep the real
-    [oɯ] — their う is the dictionary-form okurigana, not a long vowel."""
+    o-vowel mora reads o, い after an e-vowel mora reads e.  Exceptions,
+    since the rule is mora-level and morpheme-blind:
+
+    * u-verbs whose stem ends in お (思う/通う/迷う/誘う) keep [oɯ] —
+      their う is the dictionary-form okurigana (拾う and 追う/問う are
+      kana-ambiguous with genuine long vowels and stay long);
+    * the い of ている/でいる progressives (食べている, 住んでいます)
+      is the verb いる, not a long e — detected by て/で before and an
+      いる-conjugation kana after;
+    * katakana ウ/イ stay diphthongs (ソウル [soɯɾɯ]) — loanwords spell
+      real long vowels with ー, so an explicit vowel kana is meant."""
+    kata = [0x30A1 <= ord(c) <= 0x30F6 for c in text]
     text = _kata_to_hira(text)
     out = []
     i = 0
-    while i < len(text):
+    n = len(text)
+    while i < n:
         two = text[i : i + 2]
         ch = text[i]
         if two in _KANA_YOON:
@@ -142,12 +157,15 @@ def _kana_to_moras(text: str) -> list:
             continue
         if ch in _KANA_BASE:
             mora = _KANA_BASE[ch]
-            if out and out[-1]:
+            if out and out[-1] and not kata[i]:
                 prev_v = out[-1][-1]
                 if mora == "u" and prev_v == "o" and \
                         text[max(0, i - 2):i] not in _OU_VERB_STEMS:
                     mora = "o"
-                elif mora == "i" and prev_v == "e":
+                elif mora == "i" and prev_v == "e" and not (
+                    text[i - 1] in "てで"
+                    and i + 1 < n and text[i + 1] in _TE_IRU_CONT
+                ):
                     mora = "e"
             out.append(mora)
             i += 1

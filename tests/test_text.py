@@ -985,9 +985,11 @@ class TestKanjiReadings:
         import ast
         import collections
         import inspect
+        from personalized_text_to_speech_tpu.text import (
+            hanzi_trad_data as H)
         from personalized_text_to_speech_tpu.text import kanji_kana_data as K
         checked = 0
-        for mod in (K, japanese):
+        for mod in (K, japanese, H):
             tree = ast.parse(inspect.getsource(mod))
             for node in ast.walk(tree):
                 if isinstance(node, ast.AnnAssign):
@@ -1262,6 +1264,19 @@ class TestJapaneseNumbers:
         assert japanese.japanese_to_ipa2("行こう") == "i↑koo"
         # u-verbs whose stem ends in お keep the real [oɯ]
         assert japanese.japanese_to_ipa2("思う") == "o↑mo↓ɯ"
+        assert japanese.japanese_to_ipa2("学校に通う").endswith("ka↑joɯ")
+        assert japanese.kanji_to_kana("迷う") == "まよう"
+        assert japanese.japanese_to_ipa2("迷う") == "ma↑joɯ"
+        # the い of ている/でいる progressives is the verb いる, not a
+        # long e — this hits every progressive-form sentence
+        assert japanese.japanese_to_ipa2("食べている") == "ta↑be te↑iɾɯ"
+        assert japanese.japanese_to_ipa2("住んでいる") == "sɯ↑ndeiɾɯ"
+        # katakana ウ/イ stay diphthongs (loanwords spell long with ー)
+        soul = japanese.japanese_to_ipa2("ソウル")
+        assert "soo" not in soul and "ɯ" in soul
+        # 定期/丁寧 (real long e after て) still normalize
+        assert japanese.japanese_to_ipa2("定期") == "te↑eki"
+        assert japanese.japanese_to_ipa2("丁寧") == "te↑enee"
         # loanword kana combos are single moras (ティ=ti, ファ=fa)
         assert japanese.japanese_to_ipa2("パーティー") == "pa↑atii"
         assert "ɸa" in japanese.japanese_to_ipa2("ファン")
@@ -1370,6 +1385,14 @@ class TestEnglishCompounds:
     def test_non_compounds_not_split(self):
         for w in ["together", "management", "carpet"]:
             assert english._compound_word(w) is None, w
+
+    def test_junction_digraphs_not_split(self):
+        # a split across th/wh/ch/ph/gh letters is orthographically
+        # implausible: nowhere is not now+here, heather is not heat+her
+        for w in ["nowhere", "heather"]:
+            assert english._compound_word(w) is None, w
+        # y|w junctions stay splittable: anywhere = any+where is real
+        assert english._compound_word("anywhere") == "ˈɛniwɛr"
 
 
 class TestHeteronyms:
