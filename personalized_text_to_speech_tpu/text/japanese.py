@@ -422,6 +422,10 @@ _ACCENT_DICT = {
     "しぬ": 0, "ねる": 0, "わすれる": 0, "おしえる": 0, "つかう": 0,
     "いう": 0, "よぶ": 0, "あける": 0, "けす": 0, "はじまる": 0,
     "おわる": 0, "うまれる": 0, "おぼえる": 3,
+    "のぼる": 0, "あらう": 0, "かよう": 0, "さがす": 0,
+    "はこぶ": 0, "ならぶ": 0, "すすむ": 0, "さそう": 0,
+    "はらう": 2, "たのむ": 2, "えらぶ": 2, "うごく": 2,
+    "とどく": 2, "まよう": 2, "かえす": 1,
     # i-adjectives
     "おいしい": 0, "やさしい": 0, "つめたい": 0, "あかるい": 0,
     "おもい": 0, "かるい": 0,

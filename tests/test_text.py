@@ -1266,7 +1266,7 @@ class TestJapaneseNumbers:
         assert japanese.japanese_to_ipa2("思う") == "o↑mo↓ɯ"
         assert japanese.japanese_to_ipa2("学校に通う").endswith("ka↑joɯ")
         assert japanese.kanji_to_kana("迷う") == "まよう"
-        assert japanese.japanese_to_ipa2("迷う") == "ma↑joɯ"
+        assert japanese.japanese_to_ipa2("迷う") == "ma↑jo↓ɯ"  # type 2
         # the い of ている/でいる progressives is the verb いる, not a
         # long e — this hits every progressive-form sentence
         assert japanese.japanese_to_ipa2("食べている") == "ta↑be te↑iɾɯ"
