@@ -93,7 +93,17 @@ def main():
     # large ambient variance (shared infra), so run several trials; the
     # HEADLINE is the median (typical throughput) with best-of recorded
     # alongside for variance forensics.
+    #
+    # Budget robustness (round-4 lesson: BENCH_r04 died rc=124 when a host
+    # change cold-started the compile cache): the JSON line is emitted as
+    # soon as the FIRST trial completes and re-emitted with updated numbers
+    # after each subsequent trial — a driver timeout mid-run still captures
+    # a real measurement from the last printed line.  PTTS_BENCH_BUDGET_S
+    # (wall-clock from process start, default 480 s) cuts remaining trials
+    # and the latency loop when tight.
     trials = int(os.environ.get("PTTS_BENCH_TRIALS", "3"))
+    budget_s = float(os.environ.get("PTTS_BENCH_BUDGET_S", "480"))
+    t_process = time.perf_counter()
 
     def timed_trial():
         t0 = time.perf_counter()
@@ -110,36 +120,56 @@ def main():
             pending = nxt
         return total_audio / (time.perf_counter() - t0)
 
-    trial_rtfs = [timed_trial() for _ in range(trials)]
-    inv_rtf = float(np.median(trial_rtfs))
-    best_rtf = float(max(trial_rtfs))
-
-    # p50 single-utterance latency
-    lat = []
-    single_ids = [id_seqs[0]]
-    key1 = jax.random.PRNGKey(1)
-    eng.synthesize_ids(single_ids, [0], rng=key1, pcm16=True)  # warm bucket
-    eng.synthesize_ids(single_ids, [0], rng=key1, pcm16=True)
-    for _ in range(max(reps * 3, 15)):
-        t0 = time.perf_counter()
-        eng.synthesize_ids(single_ids, [0], rng=key1, pcm16=True)
-        lat.append(time.perf_counter() - t0)
-    p50_ms = float(np.percentile(lat, 50) * 1000)
-
     target = 50.0  # driver target: ≥50× real-time per chip
-    result = {
-        "metric": "synthesized audio sec/sec/chip (1/RTF) text→wav",
-        "value": round(inv_rtf, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(inv_rtf / target, 3),
-        "p50_latency_ms": round(p50_ms, 1),
-        "batch": batch,
-        "dtype": dtype,
-        "best": round(best_rtf, 2),
-        "trial_rtfs": [round(t, 1) for t in trial_rtfs],
-        "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(result, ensure_ascii=False))
+
+    def emit(trial_rtfs, p50_ms=None, provisional=False):
+        inv_rtf = float(np.median(trial_rtfs))
+        result = {
+            "metric": "synthesized audio sec/sec/chip (1/RTF) text→wav",
+            "value": round(inv_rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(inv_rtf / target, 3),
+            "batch": batch,
+            "dtype": dtype,
+            "best": round(float(max(trial_rtfs)), 2),
+            "trial_rtfs": [round(t, 1) for t in trial_rtfs],
+            "device": str(jax.devices()[0]),
+        }
+        if p50_ms is not None:
+            result["p50_latency_ms"] = round(p50_ms, 1)
+        if provisional:
+            result["provisional"] = True
+        print(json.dumps(result, ensure_ascii=False), flush=True)
+
+    def over_budget():
+        return budget_s > 0 and time.perf_counter() - t_process > budget_s
+
+    trial_rtfs = []
+    for t in range(trials):
+        trial_rtfs.append(timed_trial())
+        if t + 1 < trials:
+            emit(trial_rtfs, provisional=True)
+            if over_budget():
+                break
+
+    # p50 single-utterance latency (skipped under budget pressure — the
+    # throughput headline above is already emitted)
+    p50_ms = None
+    if not over_budget():
+        lat = []
+        single_ids = [id_seqs[0]]
+        key1 = jax.random.PRNGKey(1)
+        eng.synthesize_ids(single_ids, [0], rng=key1, pcm16=True)  # warm bucket
+        eng.synthesize_ids(single_ids, [0], rng=key1, pcm16=True)
+        for _ in range(max(reps * 3, 15)):
+            t0 = time.perf_counter()
+            eng.synthesize_ids(single_ids, [0], rng=key1, pcm16=True)
+            lat.append(time.perf_counter() - t0)
+            if over_budget():
+                break
+        p50_ms = float(np.percentile(lat, 50) * 1000)
+
+    emit(trial_rtfs, p50_ms=p50_ms)
 
 
 if __name__ == "__main__":
