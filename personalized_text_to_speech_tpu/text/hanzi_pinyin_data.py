@@ -110,7 +110,7 @@ _ENTRIES_H_M = """
 谎huang3 灰hui1 挥hui1 恢hui1 辉hui1 徽hui1 悔hui3 毁hui3 汇hui4 绘hui4
 贿hui4 惠hui4 毁hui3 慧hui4 昏hun1 婚hun1 浑hun2 魂hun2 混hun4 活huo2
 伙huo3 或huo4 货huo4 获huo4 祸huo4 惑huo4 霍huo4
-讥ji1 击ji1 饥ji1 机ji1 肌ji1 鸡ji1 迹ji1 积ji1 基ji1 绩ji1 激ji1 及ji2
+讥ji1 击ji1 饥ji1 机ji1 肌ji1 鸡ji1 迹ji1 积ji1 基ji1 绩ji4 激ji1 及ji2
 吉ji2 即ji2 急ji2 疾ji2 集ji2 籍ji2 辑ji2 嫉ji2 脊ji3 挤ji3 几ji3 技ji4
 忌ji4 际ji4 季ji4 剂ji4 迹ji4 济ji4 既ji4 继ji4 寂ji4 寄ji4 纪ji4 记ji4
 加jia1 夹jia1 佳jia1 枷jia1 嘉jia1 甲jia3 假jia3 价jia4 驾jia4 架jia4
@@ -338,7 +338,7 @@ WORD_PINYIN: Dict[str, str] = {
     "董事长": "dong3 shi4 zhang3",
     "音乐": "yin1 yue4", "乐器": "yue4 qi4", "乐曲": "yue4 qu3",
     "快乐": "kuai4 le4", "欢乐": "huan1 le4",
-    "头发": "tou2 fa4", "理发": "li3 fa4", "发型": "fa4 xing2",
+    "头发": "tou2 fa5", "理发": "li3 fa4", "发型": "fa4 xing2",
     "得到": "de2 dao4", "觉得": "jue2 de5", "记得": "ji4 de5",
     "值得": "zhi2 de5", "显得": "xian3 de5", "获得": "huo4 de2",
     "取得": "qu3 de2", "懂得": "dong3 de5", "舍得": "she3 de5",
@@ -348,7 +348,7 @@ WORD_PINYIN: Dict[str, str] = {
     "为了": "wei4 le5", "因为": "yin1 wei4", "为什么": "wei4 shen2 me5",
     "行为": "xing2 wei2", "认为": "ren4 wei2", "以为": "yi3 wei2",
     "成为": "cheng2 wei2", "作为": "zuo4 wei2",
-    "地方": "di4 fang1", "地球": "di4 qiu2",
+    "地方": "di4 fang5", "地球": "di4 qiu2",
     "慢慢地": "man4 man4 de5", "好好地": "hao3 hao3 de5",
     "了解": "liao3 jie3", "了不起": "liao3 bu5 qi3",
     "着急": "zhao2 ji2", "着火": "zhao2 huo3", "着凉": "zhao2 liang2",
@@ -401,7 +401,7 @@ WORD_PINYIN: Dict[str, str] = {
     "今朝": "jin1 zhao1",
     "传记": "zhuan4 ji4", "自传": "zi4 zhuan4", "传统": "chuan2 tong3",
     "宣传": "xuan1 chuan2", "传播": "chuan2 bo1",
-    "系鞋带": "ji4 xie2 dai4", "关系": "guan1 xi4", "联系": "lian2 xi4",
+    "系鞋带": "ji4 xie2 dai4", "关系": "guan1 xi5", "联系": "lian2 xi4",
     "奔头": "ben4 tou5", "投奔": "tou2 ben4",
     "省会": "sheng3 hui4", "反省": "fan3 xing3", "省悟": "xing3 wu4",
     "兴奋": "xing1 fen4", "兴趣": "xing4 qu4", "高兴": "gao1 xing4",
@@ -457,6 +457,73 @@ WORD_PINYIN: Dict[str, str] = {
     "地道": "di4 dao5", "道地": "dao4 di4",
     "漂亮": "piao4 liang5", "漂流": "piao1 liu2", "漂白": "piao3 bai2",
     "结实": "jie1 shi5", "结果": "jie2 guo3", "结束": "jie2 shu4",
+    # --- round-5 tranche: driven by the zh_goldens.tsv accuracy eval -----
+    # reduplicated kinship terms (second syllable neutral; adverb
+    # reduplications 人人/天天/常常 keep full tones via char defaults)
+    "爸爸": "ba4 ba5", "妈妈": "ma1 ma5", "哥哥": "ge1 ge5",
+    "姐姐": "jie3 jie5", "弟弟": "di4 di5", "妹妹": "mei4 mei5",
+    "爷爷": "ye2 ye5", "奶奶": "nai3 nai5", "叔叔": "shu1 shu5",
+    "舅舅": "jiu4 jiu5", "姑姑": "gu1 gu5", "伯伯": "bo2 bo5",
+    "婆婆": "po2 po5", "太太": "tai4 tai5", "宝宝": "bao3 bao5",
+    "娃娃": "wa2 wa5", "谢谢": "xie4 xie5", "星星": "xing1 xing5",
+    # lexicalized neutral tones (现代汉语词典 citation forms)
+    "先生": "xian1 sheng5", "学生": "xue2 sheng5", "认识": "ren4 shi5",
+    "对不起": "dui4 bu5 qi3", "不好意思": "bu4 hao3 yi4 si5",
+    "主意": "zhu3 yi5", "窗户": "chuang1 hu5", "聪明": "cong1 ming5",
+    "名字": "ming2 zi5", "个子": "ge4 zi5", "尾巴": "wei3 ba5",
+    "嘴巴": "zui3 ba5", "早上": "zao3 shang5", "晚上": "wan3 shang5",
+    "清楚": "qing1 chu5", "多少": "duo1 shao5", "舒服": "shu1 fu5",
+    "热闹": "re4 nao5", "客气": "ke4 qi5", "麻烦": "ma2 fan5",
+    "厉害": "li4 hai5", "丈夫": "zhang4 fu5", "师傅": "shi1 fu5",
+    "点心": "dian3 xin5", "豆腐": "dou4 fu5", "馄饨": "hun2 tun5",
+    # 子-suffix nouns (neutral 子; semantic 子 words 电子/分子/原子/男子
+    # keep zi3 via the char default)
+    "桌子": "zhuo1 zi5", "椅子": "yi3 zi5", "孩子": "hai2 zi5",
+    "房子": "fang2 zi5", "裤子": "ku4 zi5", "鞋子": "xie2 zi5",
+    "帽子": "mao4 zi5", "袜子": "wa4 zi5", "筷子": "kuai4 zi5",
+    "杯子": "bei1 zi5", "瓶子": "ping2 zi5", "盒子": "he2 zi5",
+    "箱子": "xiang1 zi5", "日子": "ri4 zi5", "样子": "yang4 zi5",
+    "肚子": "du4 zi5", "脑子": "nao3 zi5", "嗓子": "sang3 zi5",
+    "鸭子": "ya1 zi5", "兔子": "tu4 zi5", "猴子": "hou2 zi5",
+    "狮子": "shi1 zi5", "蚊子": "wen2 zi5", "虫子": "chong2 zi5",
+    "橘子": "ju2 zi5", "桃子": "tao2 zi5", "饺子": "jiao3 zi5",
+    "包子": "bao1 zi5", "本子": "ben3 zi5", "村子": "cun1 zi5",
+    "院子": "yuan4 zi5", "被子": "bei4 zi5", "毯子": "tan3 zi5",
+    "刀子": "dao1 zi5", "叉子": "cha1 zi5", "勺子": "shao2 zi5",
+    "妻子": "qi1 zi5", "儿子": "er2 zi5", "孙子": "sun1 zi5",
+    "小伙子": "xiao3 huo3 zi5", "影子": "ying3 zi5", "种子": "zhong3 zi5",
+    # 头-suffix nouns (neutral 头)
+    "木头": "mu4 tou5", "馒头": "man2 tou5", "舌头": "she2 tou5",
+    "枕头": "zhen3 tou5", "拳头": "quan2 tou5", "骨头": "gu3 tou5",
+    # 少 shào words (char default shao3)
+    "少年": "shao4 nian2", "青少年": "qing1 shao4 nian2",
+    "少女": "shao4 nü3", "少爷": "shao4 ye5",
+    # 会 kuài / 还 huán words
+    "会计": "kuai4 ji4", "会计师": "kuai4 ji4 shi1",
+    "还给": "huan2 gei3", "还钱": "huan2 qian2", "还款": "huan2 kuan3",
+    "还债": "huan2 zhai4", "退还": "tui4 huan2",
+    # 空 kòng words (char default kong1)
+    "有空": "you3 kong4", "没空": "mei2 kong4", "抽空": "chou1 kong4",
+    "空儿": "kong4 er2",
+    # 目的 dì (的 char default is the particle de5)
+    "目的": "mu4 di4", "目的地": "mu4 di4 di4",
+    # 得 dé words (standalone 得 now defaults to the complement particle
+    # de5; 觉得/记得/值得-class neutral readings come from that default)
+    "得以": "de2 yi3", "得出": "de2 chu1", "得知": "de2 zhi1",
+    "得分": "de2 fen1", "得意": "de2 yi4", "得罪": "de2 zui4",
+    "赢得": "ying2 de2", "夺得": "duo2 de2", "博得": "bo2 de2",
+    "所得": "suo3 de2", "心得": "xin1 de2", "难得": "nan2 de2",
+    "不得不": "bu4 de2 bu4", "非得": "fei1 dei3", "总得": "zong3 dei3",
+    # 教 jiào words (standalone 教 now defaults to the verb jiāo)
+    "教室": "jiao4 shi4", "教师": "jiao4 shi1", "教育": "jiao4 yu4",
+    "教授": "jiao4 shou4", "教学": "jiao4 xue2", "教练": "jiao4 lian4",
+    "教堂": "jiao4 tang2", "教材": "jiao4 cai2", "教科书": "jiao4 ke1 shu1",
+    "宗教": "zong1 jiao4", "佛教": "fo2 jiao4", "道教": "dao4 jiao4",
+    "基督教": "ji1 du1 jiao4", "请教": "qing3 jiao4", "教训": "jiao4 xun5",
+    "教养": "jiao4 yang3", "教会": "jiao4 hui4", "指教": "zhi3 jiao4",
+    "教程": "jiao4 cheng2", "教导": "jiao4 dao3", "任教": "ren4 jiao4",
+    "助教": "zhu4 jiao4", "教条": "jiao4 tiao2", "教徒": "jiao4 tu2",
+    "家教": "jia1 jiao4", "说教": "shuo1 jiao4", "管教": "guan3 jiao4",
 }
 
 # supplementary entries: frequency-ranked gaps found against the char set

@@ -185,7 +185,7 @@ _HANZI_PINYIN: Dict[str, str] = {
     "子": "zi3", "中": "zhong1", "你": "ni3", "说": "shuo1", "生": "sheng1",
     "国": "guo2", "年": "nian2", "着": "zhe5", "就": "jiu4", "那": "na4",
     "和": "he2", "要": "yao4", "她": "ta1", "出": "chu1", "也": "ye3",
-    "得": "de2", "里": "li3", "后": "hou4", "自": "zi4", "以": "yi3",
+    "得": "de5", "里": "li3", "后": "hou4", "自": "zi4", "以": "yi3",
     "会": "hui4", "家": "jia1", "可": "ke3", "下": "xia4", "而": "er2",
     "过": "guo4", "天": "tian1", "去": "qu4", "能": "neng2", "对": "dui4",
     "小": "xiao3", "多": "duo1", "然": "ran2", "于": "yu2", "心": "xin1",
@@ -222,7 +222,7 @@ _HANZI_PINYIN: Dict[str, str] = {
     "少": "shao3", "克": "ke4", "代": "dai4", "员": "yuan2", "许": "xu3",
     "先": "xian1", "口": "kou3", "由": "you2", "死": "si3", "安": "an1",
     "写": "xie3", "性": "xing4", "马": "ma3", "光": "guang1", "白": "bai2",
-    "或": "huo4", "住": "zhu4", "难": "nan2", "望": "wang4", "教": "jiao4",
+    "或": "huo4", "住": "zhu4", "难": "nan2", "望": "wang4", "教": "jiao1",
     "命": "ming4", "花": "hua1", "结": "jie2", "乐": "le4", "色": "se4",
     "更": "geng4", "拉": "la1", "东": "dong1", "神": "shen2", "记": "ji4",
     "处": "chu4", "让": "rang4", "母": "mu3", "父": "fu4", "应": "ying1",
@@ -301,6 +301,9 @@ def hanzi_available() -> bool:
     return _lazy_pinyin is not None
 
 
+_WORD_PINYIN_MAXLEN = max((len(w) for w in _WORD_PINYIN), default=1)
+
+
 def _word_to_bopomofo(word: str) -> List[str]:
     """One CJK word → list of bopomofo syllables with tone marks."""
     if _lazy_pinyin is not None and _PinyinStyle is not None:
@@ -310,8 +313,25 @@ def _word_to_bopomofo(word: str) -> List[str]:
         return [re.sub(r"([ㄅ-ㄩ])$", r"\1ˉ", s) for s in sylls]
     if word in _WORD_PINYIN:  # polyphone override at word granularity
         return [pinyin_syllable_to_bopomofo(s) for s in _WORD_PINYIN[word]]
+    # jieba emits compound tokens (有意思, 很漂亮, 开得, 孩子们) that an
+    # exact-match lookup misses: greedy longest-match decomposition lets
+    # the word overrides fire inside them — the role pypinyin's phrase
+    # dictionary plays in the reference path — before falling back to
+    # per-character defaults
     out = []
-    for ch in word:
+    i, n = 0, len(word)
+    while i < n:
+        hit = None
+        for length in range(min(_WORD_PINYIN_MAXLEN, n - i), 1, -1):
+            cand = word[i : i + length]
+            if cand in _WORD_PINYIN:
+                hit = _WORD_PINYIN[cand]
+                break
+        if hit is not None:
+            out.extend(pinyin_syllable_to_bopomofo(s) for s in hit)
+            i += length
+            continue
+        ch = word[i]
         py = _HANZI_PINYIN.get(ch)
         if py is None and re.match(r"[一-鿿]", ch):
             # never drop a character silently: log once per char (the id
@@ -324,6 +344,7 @@ def _word_to_bopomofo(word: str) -> List[str]:
                     ch, ord(ch),
                 )
         out.append(pinyin_syllable_to_bopomofo(py) if py else ch)
+        i += 1
     return out
 
 
@@ -618,19 +639,24 @@ def bopomofo_to_romaji(text: str) -> str:
 # Public pipelines
 # --------------------------------------------------------------------------
 
-def chinese_to_ipa(text: str) -> str:
-    """The cjke_cleaners2 Chinese path (reference ``mandarin.py:304-314``):
-    glide rewrites i/u→j/w before vowels, then apical-vowel insertion after
-    retroflex/dental sibilants."""
-    text = number_to_chinese(text)
-    text = chinese_to_bopomofo(text)
-    text = latin_to_bopomofo(text)
-    text = bopomofo_to_ipa(text)
+def _ipa_glide_apical(text: str) -> str:
+    """The cjke_cleaners2 post-table rewrites (reference
+    ``mandarin.py:308-313``): glide i/u→j/w before vowels, then
+    apical-vowel insertion after retroflex/dental sibilants."""
     text = re.sub(r"i([aoe])", r"j\1", text)
     text = re.sub(r"u([aoəe])", r"w\1", text)
     text = re.sub(r"([sɹ]`[⁼ʰ]?)([→↓↑ ]+|$)", r"\1ɹ`\2", text).replace("ɻ", "ɹ`")
     text = re.sub(r"([s][⁼ʰ]?)([→↓↑ ]+|$)", r"\1ɹ\2", text)
     return text
+
+
+def chinese_to_ipa(text: str) -> str:
+    """The cjke_cleaners2 Chinese path (reference ``mandarin.py:304-314``)."""
+    text = number_to_chinese(text)
+    text = chinese_to_bopomofo(text)
+    text = latin_to_bopomofo(text)
+    text = bopomofo_to_ipa(text)
+    return _ipa_glide_apical(text)
 
 
 def chinese_to_romaji(text: str) -> str:
@@ -666,9 +692,4 @@ def pinyin_to_ipa(pinyin_text: str) -> str:
     """
     sylls = [pinyin_syllable_to_bopomofo(s) for s in pinyin_text.split()]
     bopo = "".join(sylls)
-    text = bopomofo_to_ipa(bopo)
-    text = re.sub(r"i([aoe])", r"j\1", text)
-    text = re.sub(r"u([aoəe])", r"w\1", text)
-    text = re.sub(r"([sɹ]`[⁼ʰ]?)([→↓↑ ]+|$)", r"\1ɹ`\2", text).replace("ɻ", "ɹ`")
-    text = re.sub(r"([s][⁼ʰ]?)([→↓↑ ]+|$)", r"\1ɹ\2", text)
-    return text
+    return _ipa_glide_apical(bopomofo_to_ipa(bopo))

@@ -1308,6 +1308,31 @@ class TestJapaneseNumbers:
             "mi↑t#tsɯ*."  # survives the cjke vocab (ʦ used to be dropped)
 
 
+class TestMandarinFallbackAccuracy:
+    """Sentence-level accuracy gate for the fallback hanzi→reading path on
+    the hand-verified goldens in tools/zh_goldens.tsv — the reference
+    resolves hanzi through pypinyin's phrase dictionary (reference
+    text/mandarin.py:243-257); this pins reading correctness (tones
+    included, end-to-end through the cjke_cleaners2 IPA), not just
+    character coverage."""
+
+    def test_accuracy_floors(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        try:
+            from eval_zh_coverage import measure_accuracy
+        finally:
+            sys.path.pop(0)
+        m = measure_accuracy()
+        assert m["sentences"] >= 100
+        assert m["syllable_accuracy"] >= 0.97, m
+        assert m["ipa_sentence_exact"] >= 0.90, m
+
+
 class TestEnglishFallbackAccuracy:
     """Word-accuracy gate for the fallback G2P (morphology + LTS) on the
     hand-verified goldens in tools/g2p_goldens.tsv — the reference resolves
@@ -1662,7 +1687,7 @@ class TestMandarinErhua:
         ("门儿", "məɹ`↑"),            # -en -> -er (mér)
         ("花儿", "xwaɹ`→"),           # -a + r (huār)
         ("事儿", "s`əɹ`↓"),           # apical rime gains schwa (shìr)
-        ("空儿", "kʰuɹ`→"),           # -ong -> ŋ dropped (kōngr)
+        ("空儿", "kʰuɹ`↓"),           # -ong -> ŋ dropped (kòngr, 现汉 4th tone)
     ]
 
     def test_goldens(self):
@@ -1681,7 +1706,7 @@ class TestMandarinErhua:
         mandarin.set_erhua(True)
         try:
             assert mandarin.chinese_to_ipa("女儿") == "nɥ↓↑əɹ`↑"
-            assert mandarin.chinese_to_ipa("儿子") == "əɹ`↑ts⁼ɹ↓↑"
+            assert mandarin.chinese_to_ipa("儿子") == "əɹ`↑ts⁼ɹ"  # ér·zi, neutral 子
             assert "ɥæn" in mandarin.chinese_to_ipa("幼儿园")
         finally:
             mandarin.set_erhua(False)
