@@ -35,11 +35,21 @@ except Exception:  # pragma: no cover - depends on environment
 # ASCII folding
 # --------------------------------------------------------------------------
 
+# CJK punctuation that NFKD folding silently drops but unidecode (the
+# reference's transliterator) maps to ASCII — the JA/ZH mark handling
+# relies on 。→"." and 、→"," surviving the fold (reference
+# japanese.py:103 keeps sentence marks through unidecode)
+_CJK_PUNCT = str.maketrans({
+    "。": ". ", "、": ", ", "，": ", ", "．": ". ",
+    "「": '"', "」": '"', "『": '"', "』": '"', "・": " ",
+})
+
+
 def ascii_fold(text: str) -> str:
     """Transliterate to ASCII. Uses unidecode when available, else NFKD."""
     if _unidecode is not None:
         return _unidecode(text)
-    folded = unicodedata.normalize("NFKD", text)
+    folded = unicodedata.normalize("NFKD", text.translate(_CJK_PUNCT))
     return "".join(ch for ch in folded if ord(ch) < 128)
 
 

@@ -134,6 +134,9 @@ _COUNTERS: Dict[str, tuple] = {
     "歳":   ("さい", "s", {}, {20: "はたち"}),
     "才":   ("さい", "s", {}, {20: "はたち"}),
     "円":   ("えん", "", {"よん": ("よ", None)}, {}),
+    # 円札 as one counter: number conversion otherwise consumes 千円 and
+    # strands 札 without kanji context (千円札 → せんえんふだ)
+    "円札": ("えんさつ", "", {"よん": ("よ", None)}, {}),
     "本":   ("ほん", "h", {"さん": (None, "ぼん")}, {}),
     "匹":   ("ひき", "h", {"さん": (None, "びき")}, {}),
     "杯":   ("はい", "h", {"さん": (None, "ばい")}, {}),

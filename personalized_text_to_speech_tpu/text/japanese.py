@@ -238,6 +238,7 @@ def _kanji_to_kana_tokens(text: str):
     intervals = []
     pos = 0  # length of joined output so far
     last_was_word = False  # previous emit produced a word interval
+    last_key_pure_kanji = False  # ...from a key with no okurigana
     last_reading = ""  # for the 々 iteration mark
     i, n = 0, len(text)
     while i < n:
@@ -320,8 +321,18 @@ def _kanji_to_kana_tokens(text: str):
         # merge instead of stacking word-starts, which would insert a
         # phrase break and pitch rise per kanji (sɯ↑i do↑ɯ for 水道).
         # A trailing stem keeps stem semantics so the okurigana and
-        # endings still fuse (受け取る → うけとる, one span).
-        if intervals and intervals[-1][1] == pos:
+        # endings still fuse (受け取る → うけとる, one span) — but ONLY
+        # after an okurigana-bearing word key (受け/買い renyokei forms):
+        # a pure-kanji word before a verb stem is a separate constituent
+        # (毎朝+読み, 新聞+読んだ), and merging it used to hide the word
+        # from the accent dictionary (まいあさよ… read heiban).
+        key_src = text[i : i + length]
+        merge_ok = intervals and intervals[-1][1] == pos and not (
+            kind == "stem"
+            and last_was_word
+            and last_key_pure_kanji
+        )
+        if merge_ok:
             s, _e, _k = intervals[-1]
             intervals[-1] = (s, pos + len(reading), kind)
         else:
@@ -329,6 +340,7 @@ def _kanji_to_kana_tokens(text: str):
         pos += len(reading)
         last_reading = reading
         last_was_word = kind == "word"
+        last_key_pure_kanji = all(_KANJI_RE.match(c) for c in key_src)
         i += length
     return "".join(out), intervals
 
@@ -404,6 +416,7 @@ _ACCENT_DICT = {
     "かいぎ": 1, "いみ": 1, "かぞく": 1, "りょうしん": 1, "せいと": 1,
     "かのじょ": 1, "たいよう": 1,
     "たまご": 2, "くだもの": 2, "こたえ": 2, "じてんしゃ": 2,
+    "もの": 2, "だいすき": 1,
     "はれ": 2, "としょかん": 2,
     "べんとう": 3, "くもり": 3,
     "がくせい": 0, "じかん": 0, "しごと": 0, "べんきょう": 0,
@@ -451,12 +464,16 @@ _PARTICLES = (
     "までは", "からは", "には", "とは", "では", "へは",
     "まで", "から", "より", "ほど", "だけ", "でも", "しか",
     "は", "が", "を", "に", "で", "と", "も", "の", "へ", "や", "ね", "よ",
+    "か",
 )
 
 
 # accentless endings (copula/polite forms) that ride the preceding word's
-# accent phrase, like particles do
+# accent phrase, like particles do; する-verb conjugations are included so
+# noun+する compounds stay one accent phrase (掃除しました, 勉強しています)
 _ENDINGS = (
+    "していました", "しています", "している", "しましょう",
+    "しませんか", "しました", "しません", "します", "して",
     "でした", "ました", "ません", "ましょう",
     "です", "ます", "たい", "だ",
 )
@@ -579,6 +596,15 @@ def _segment_accent_phrases(hira: str, intervals=()) -> list:
                     hit_a = a
                     break
             if hit_a is None:
+                break
+            if (
+                hit_a == "も"
+                and hira[j : j + 2] == "もの"
+                and reading.endswith("い")
+            ):
+                # i-adjective + もの is the noun (甘いもの, 冷たいもの),
+                # not the particle も — close the phrase and let the
+                # dictionary word もの start the next one
                 break
             j += len(hit_a)
             if hit_a in particles:

@@ -21,6 +21,18 @@ if "terminate_timeout" not in os.environ.get("XLA_FLAGS", ""):
         os.environ.get("XLA_FLAGS", "")
         + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
     ).strip()
+# XLA:CPU's AOT cache loader rejects MULTI-DEVICE executables compiled with
+# native ISA selection: compile-time target features include LLVM *tuning*
+# pseudo-features (+prefer-no-scatter/+prefer-no-gather on AVX512 hosts)
+# that the load-time host-CPUID check can never report, so every SPMD cache
+# entry recompiles on every run (measured round 5: the 4 big GAN-step
+# compiles re-ran warm, 634 s).  Capping codegen at AVX2 keeps those tuning
+# features out of the signature and the cache loads cleanly; tests are
+# compile-bound, not execute-bound, so the narrower ISA is the right trade.
+if "max_isa" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_max_isa=AVX2"
+    ).strip()
 
 import jax  # noqa: E402
 

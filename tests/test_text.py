@@ -1333,6 +1333,31 @@ class TestMandarinFallbackAccuracy:
         assert m["ipa_sentence_exact"] >= 0.90, m
 
 
+class TestJapaneseFallbackAccuracy:
+    """Sentence-level accuracy gate for the fallback kanji→kana path plus
+    end-to-end japanese_to_ipa2 exactness (accent arrows, devoicing, long
+    vowels) on the hand-verified goldens in tools/ja_goldens.tsv — the
+    reference reads kanji/accents through pyopenjtalk and cannot run
+    without it (reference text/japanese.py:84-109)."""
+
+    def test_accuracy_floors(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        try:
+            from eval_ja_coverage import measure_accuracy
+        finally:
+            sys.path.pop(0)
+        m = measure_accuracy()
+        assert m["sentences"] >= 100
+        assert m["reading_char_accuracy"] >= 0.97, m
+        assert m["ipa_subset_sentences"] >= 20
+        assert m["ipa_sentence_exact"] >= 0.90, m
+
+
 class TestEnglishFallbackAccuracy:
     """Word-accuracy gate for the fallback G2P (morphology + LTS) on the
     hand-verified goldens in tools/g2p_goldens.tsv — the reference resolves

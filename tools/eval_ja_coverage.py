@@ -68,11 +68,87 @@ def ranked_kanji():
     return out, len(dict.fromkeys(_RANKED))
 
 
+GOLDENS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "ja_goldens.tsv")
+
+
+def load_goldens(path=GOLDENS_PATH):
+    """[(sentence, gold_reading, gold_ipa2_or_None)]"""
+    rows = []
+    for line in open(path, encoding="utf-8"):
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        rows.append((parts[0], parts[1],
+                     parts[2] if len(parts) > 2 and parts[2] else None))
+    return rows
+
+
+def measure_accuracy(verbose=False):
+    """Reading accuracy of the fallback kanji→kana path (the function
+    pyopenjtalk's dictionary performs for the reference) on hand-verified
+    sentence goldens, char-level via sequence alignment, plus end-to-end
+    ``japanese_to_ipa2`` exactness on the subset with hand-written IPA."""
+    import difflib
+
+    from personalized_text_to_speech_tpu.text import japanese as J
+    from personalized_text_to_speech_tpu.text import ja_numbers
+
+    assert J._pyopenjtalk is None, (
+        "accuracy eval measures the FALLBACK path; pyopenjtalk is installed"
+    )
+    char_correct = char_total = 0
+    sent_exact = total = 0
+    ipa_exact = ipa_total = 0
+    failures, ipa_failures = [], []
+    for sentence, gold, gold_ipa in load_goldens():
+        total += 1
+        got = J.kanji_to_kana(ja_numbers.convert_numbers(sentence))
+        sm = difflib.SequenceMatcher(None, gold, got, autojunk=False)
+        char_correct += sum(b.size for b in sm.get_matching_blocks())
+        char_total += len(gold)
+        if got == gold:
+            sent_exact += 1
+        else:
+            failures.append((sentence, gold, got))
+        if gold_ipa is not None:
+            ipa_total += 1
+            got_ipa = J.japanese_to_ipa2(sentence)
+            if got_ipa == gold_ipa:
+                ipa_exact += 1
+            else:
+                ipa_failures.append((sentence, gold_ipa, got_ipa))
+    if verbose:
+        for sentence, gold, got in failures:
+            print(f"FAIL {sentence}\n  gold {gold}\n  got  {got}")
+        for sentence, gold, got in ipa_failures:
+            print(f"IPA FAIL {sentence}\n  gold {gold}\n  got  {got}")
+    out = {
+        "metric": "japanese fallback kanji-reading accuracy (hand goldens)",
+        "sentences": total,
+        "reading_char_accuracy": round(char_correct / max(char_total, 1), 4),
+        "reading_sentence_exact": round(sent_exact / max(total, 1), 4),
+    }
+    if ipa_total:
+        out["ipa_subset_sentences"] = ipa_total
+        out["ipa_sentence_exact"] = round(ipa_exact / ipa_total, 4)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=0,
                     help="also list the N most frequent uncovered kanji")
+    ap.add_argument("--accuracy", action="store_true",
+                    help="measure fallback reading accuracy on the "
+                         "hand-verified sentence goldens (ja_goldens.tsv)")
     args = ap.parse_args()
+
+    if args.accuracy:
+        print(json.dumps(measure_accuracy(verbose=True),
+                         ensure_ascii=False))
+        return
 
     from personalized_text_to_speech_tpu.text import kanji_kana_data as K
 
