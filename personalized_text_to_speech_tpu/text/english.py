@@ -1097,6 +1097,116 @@ _LEXICON = {
     "mantissa": "mænˈtɪsə", "domain": "doʊˈmeɪn",
     "removal": "rɪˈmuvəl", "goto": "ˈgoʊtu", "derive": "dɪˈraɪv",
     "rely": "rɪˈlaɪ", "refactor": "riˈfæktər",
+    # eighth tranche (round 5): measured top OOV fallbacks from
+    # tools/eval_g2p.py --top 400 — short tech vocabulary, productive
+    # compound morphemes (lib/var/char/col feed _compound_word), Python-
+    # ecosystem proper nouns, and high-frequency prose words the earlier
+    # sweeps missed.  "optimism" also powers the -ist/-ism morph rule.
+    "int": "ɪnt", "bar": "bɑr", "def": "dɛf", "lib": "lɪb",
+    "foo": "fu", "pep": "pɛp", "dict": "dɪkt", "bool": "bul",
+    "ast": "æst", "com": "kɑm", "esc": "ɛsk", "mac": "mæk",
+    "desc": "dɛsk", "ref": "rɛf", "rel": "rɛl", "opt": "ɑpt",
+    "dir": "dɪr", "inf": "ɪnf", "meta": "ˈmɛtə", "math": "mæθ",
+    "plus": "pləs", "fetch": "fɛʧ", "depth": "dɛpθ", "fork": "fɔrk",
+    "misc": "mɪsk", "ex": "ɛks", "auth": "ɔθ", "var": "vɑr",
+    "char": "ʧɑr", "op": "ɑp", "tox": "tɑks", "repl": "ˈrɛpəl",
+    "enum": "ˈiˌnəm", "intro": "ˈɪntroʊ", "proto": "ˈproʊtoʊ",
+    "param": "pəˈræm", "func": "fəŋk", "gen": "ʤɛn", "len": "lɛn",
+    "div": "dɪv", "qty": "ˈkwɑntəti",
+    "sydney": "ˈsɪdni", "pandoc": "ˈpænˌdɑk",
+    "colorama": "ˌkələˈrɑmə", "cpython": "ˈsiˌpaɪθɑn",
+    "pygments": "ˈpɪgmənts", "mujoco": "muˈʤoʊkoʊ",
+    "sacrebleu": "ˌsɑkrəˈblu", "narwhal": "ˈnɑrwəl",
+    "contrib": "kənˈtrɪb", "argon": "ˈɑrˌgɑn", "runkle": "ˈrəŋkəl",
+    "viicos": "ˈviˌkoʊs", "yarl": "jɑrl",
+    "idna": "ˌaɪˌdiˌɛnˈeɪ", "cffi": "ˌsiˌɛfˌɛfˈaɪ",
+    "attrs": "ˈætərz", "xprof": "ˈɛksˌprɑf",
+    "xxhash": "ˌɛksˌɛksˈhæʃ", "psutil": "ˌpiˌɛsˈjutɪl",
+    "tide": "taɪd", "lab": "læb", "col": "kɑl",
+    "graphviz": "ˈgræfˌvɪz", "swig": "swɪg", "parso": "ˈpɑrsoʊ",
+    "travis": "ˈtrævɪs", "dask": "dæsk", "polars": "ˈpoʊlərz",
+    "wrapt": "ræpt", "certifi": "ˈsərtəˌfaɪ",
+    "harfbuzz": "ˈhɑrfˌbəz", "msgpack": "ˈmɛsɪʤˌpæk",
+    "einops": "ˈaɪnˌɑps", "einsum": "ˈaɪnˌsəm", "chex": "ʧɛks",
+    "optax": "ˈɑpˌtæks", "blas": "blæs", "rocm": "ˈrɑkəm",
+    "toolz": "tulz", "trio": "ˈtrioʊ", "woff": "wɔf",
+    "ufo": "ˌjuˌɛfˈoʊ",
+    "variation": "ˌvɛriˈeɪʃən", "clip": "klɪp", "edit": "ˈɛdɪt",
+    "synchronous": "ˈsɪŋkrənəs",
+    "visualization": "ˌvɪʒwələˈzeɪʃən", "extreme": "ɪkˈstrim",
+    "agnostic": "ægˈnɑstɪk", "grapheme": "ˈgræˌfim",
+    "resample": "riˈsæmpəl", "warranty": "ˈwɔrənti",
+    "imply": "ɪmˈplaɪ", "connect": "kəˈnɛkt",
+    "similarity": "ˌsɪməˈlɛrɪti", "foundation": "faʊnˈdeɪʃən",
+    "interact": "ˌɪntərˈækt", "annotate": "ˈænəˌteɪt",
+    "enforce": "ɛnˈfɔrs", "universal": "ˌjunəˈvərsəl",
+    "draft": "dræft", "concurrent": "kənˈkərənt",
+    "decorate": "ˈdɛkəˌreɪt", "equality": "ɪˈkwɑlɪti",
+    "regardless": "rɪˈgɑrdləs", "instantiate": "ɪnˈstænʃiˌeɪt",
+    "detector": "dɪˈtɛktər", "assertion": "əˈsərʃən",
+    "critical": "ˈkrɪtɪkəl", "exit": "ˈɛgzɪt", "clause": "klɔz",
+    "quadratic": "kwɑˈdrætɪk", "benefit": "ˈbɛnəfɪt",
+    "normalize": "ˈnɔrməˌlaɪz",
+    "normalization": "ˌnɔrmələˈzeɪʃən", "plain": "pleɪn",
+    "latter": "ˈlætər", "scientific": "ˌsaɪənˈtɪfɪk",
+    "whereby": "wɛrˈbaɪ", "indices": "ˈɪndəˌsiz", "clash": "klæʃ",
+    "exchange": "ɪksˈʧeɪnʤ", "tabular": "ˈtæbjələr", "far": "fɑr",
+    "prerequisite": "priˈrɛkwəzət", "measurement": "ˈmɛʒərmənt",
+    "fragment": "ˈfrægmənt", "bacon": "ˈbeɪkən",
+    "flexibility": "ˌflɛksəˈbɪlɪti", "robust": "roʊˈbəst",
+    "assert": "əˈsərt", "deliver": "dɪˈlɪvər",
+    "verbose": "vərˈboʊs", "retrieval": "rɪˈtrivəl",
+    "accessible": "ækˈsɛsəbəl", "constructor": "kənˈstrəktər",
+    "infrastructure": "ˈɪnfrəˌstrəkʧər", "physics": "ˈfɪzɪks",
+    "mess": "mɛs", "coherence": "koʊˈhɪrəns", "expose": "ɪkˈspoʊz",
+    "flatten": "ˈflætən", "undefined": "ˌəndɪˈfaɪnd",
+    "convention": "kənˈvɛnʃən", "taken": "ˈteɪkən",
+    "recursive": "rɪˈkərsɪv",
+    "differentiation": "ˌdɪfəˌrɛnʃiˈeɪʃən", "deploy": "dɪˈplɔɪ",
+    "van": "væn", "implicit": "ɪmˈplɪsət", "central": "ˈsɛntrəl",
+    "resumable": "rɪˈzuməbəl", "compliant": "kəmˈplaɪənt",
+    "banner": "ˈbænər", "awesome": "ˈɔsəm",
+    "disruption": "dɪsˈrəpʃən", "slack": "slæk", "trait": "treɪt",
+    "govern": "ˈgəvərn", "accurate": "ˈækjərət",
+    "credit": "ˈkrɛdɪt", "suggestion": "səgˈʤɛsʧən",
+    "represent": "ˌrɛprɪˈzɛnt", "emit": "ɪˈmɪt",
+    "translation": "trænzˈleɪʃən", "unnecessary": "ənˈnɛsəˌsɛri",
+    "abstraction": "æbˈstrækʃən", "inclusion": "ɪnˈkluʒən",
+    "locale": "loʊˈkæl", "positional": "pəˈzɪʃənəl",
+    "beyond": "bɪˈjɑnd", "pythonic": "paɪˈθɑnɪk",
+    "sanitize": "ˈsænəˌtaɪz", "bare": "bɛr", "restore": "rɪˈstɔr",
+    "identify": "aɪˈdɛntəˌfaɪ", "adjust": "əˈʤəst",
+    "ratio": "ˈreɪʃiˌoʊ", "rare": "rɛr", "sensitive": "ˈsɛnsətɪv",
+    "isolate": "ˈaɪsəˌleɪt", "duration": "dʊˈreɪʃən",
+    "among": "əˈməŋ", "magic": "ˈmæʤɪk", "infer": "ɪnˈfər",
+    "supply": "səˈplaɪ", "christian": "ˈkrɪsʧən", "bomb": "bɑm",
+    "compress": "kəmˈprɛs", "precedence": "ˈprɛsədəns",
+    "operate": "ˈɑpəˌreɪt", "contour": "ˈkɑnˌtʊr", "curve": "kərv",
+    "direct": "dəˈrɛkt", "restrict": "riˈstrɪkt",
+    "reusable": "riˈjuzəbəl", "credential": "krəˈdɛnʃəl",
+    "encounter": "ɪnˈkaʊntər", "entirety": "ɪnˈtaɪərti",
+    "institution": "ˌɪnstəˈtuʃən", "approximate": "əˈprɑksəmət",
+    "elapse": "ɪˈlæps", "desire": "dɪˈzaɪər",
+    "percentage": "pərˈsɛntɪʤ", "discourse": "ˈdɪsˌkɔrs",
+    "rename": "riˈneɪm", "extract": "ɪkˈstrækt",
+    "helpful": "ˈhɛlpfəl", "studio": "ˈstudiˌoʊ",
+    "daniel": "ˈdænjəl", "scenario": "səˈnɛriˌoʊ",
+    "organization": "ˌɔrgənəˈzeɪʃən",
+    "complicated": "ˈkɑmpləˌkeɪtɪd", "verify": "ˈvɛrəˌfaɪ",
+    "isolation": "ˌaɪsəˈleɪʃən", "identity": "aɪˈdɛntəti",
+    "authority": "əˈθɔrəti", "insert": "ɪnˈsərt",
+    "locate": "ˈloʊˌkeɪt", "michael": "ˈmaɪkəl",
+    "numerical": "nuˈmɛrɪkəl", "correspond": "ˌkɔrəˈspɑnd",
+    "convenient": "kənˈvinjənt", "initialize": "ɪˈnɪʃəˌlaɪz",
+    "resolve": "rɪˈzɑlv", "latin": "ˈlætən", "asset": "ˈæˌsɛt",
+    "tar": "tɑr", "unknown": "ˌənˈnoʊn", "callable": "ˈkɔləbəl",
+    "trail": "treɪl", "affect": "əˈfɛkt",
+    "applicable": "ˈæplɪkəbəl", "propagate": "ˈprɑpəˌgeɪt",
+    "hug": "həg", "segment": "ˈsɛgmənt", "tune": "tun",
+    "extensible": "ɪkˈstɛnsəbəl",
+    "deprecation": "ˌdɛprəˈkeɪʃən",
+    "independent": "ˌɪndɪˈpɛndənt", "vendor": "ˈvɛndər",
+    "fold": "foʊld", "optimism": "ˈɑptəˌmɪzəm",
     # spelled letter names (lone letters in prose read as letter names;
     # "a" and "i" stay words — their letter readings live in _LETTER_NAMES)
     "b": "bi",
@@ -1243,6 +1353,18 @@ def _lts_word(word: str, depth: int = 0) -> str:
     body = re.sub(r"([bcdfglmnprstz])\1", r"\1", body)
     i = 0
     while i < len(body):
+        # word-initial open-syllable "hu-" is /hju/ (human, humid, humor,
+        # humane); closed syllables (hundred, husband) fall through to the
+        # plain /hə/ scan.  'l' and 'r' are excluded ("hula" is /hu/;
+        # "hurry"/"hubby" reach here with their double collapsed, so 'y'
+        # is not accepted as the following vowel either.
+        if (
+            i == 0 and body.startswith("hu") and len(body) >= 4
+            and body[2] in "bcdgkmnpstvz" and body[3] in "aeiou"
+        ):
+            out.append("hju")
+            i = 2
+            continue
         # context-sensitive soft c/g
         soft_next = (
             i + 1 < len(body) and body[i + 1] in _SOFT_C_VOWELS
@@ -1406,6 +1528,20 @@ def _morph_word(word: str, depth: int = 0):
             base = stem_ipa(word[:-3])
         if base:
             return base + "əst"
+    # derivational -ize from a lexicon stem ("finalize", "realize",
+    # "modernize") — the suffix is stress-neutral, so plain concatenation
+    # is phonologically right
+    if n > 5 and word.endswith("ize"):
+        base = stem_ipa(word[:-3])
+        if base:
+            return base + "aɪz"
+    # derivational -ist from a lexicon -ism pair ("optimist"/"optimism",
+    # "communist"/"communism"): swap the final /ɪzəm/ for /ɪst/ — the rest
+    # of the word (incl. the reduced medial vowels) is identical
+    if n > 4 and word.endswith("ist"):
+        base = stem_ipa(word[:-3] + "ism")
+        if base and base.endswith("ɪzəm"):
+            return base[:-4] + "ɪst"
     return None
 
 
@@ -1428,7 +1564,12 @@ def _compound_word(word: str, depth: int = 0):
     n = len(word)
     if n < 6:
         return None
-    for split in range(n - 3, 2, -1):
+    for split in range(n - 3, 1, -1):
+        if split == 2 and word[:2] != "py":
+            # 2-char heads over-split badly (opera ≠ op+era); "py" is the
+            # one productive short tech prefix (pyproject, pytest, pytree)
+            # and its false positives are benign (pyrite → paɪ+raɪt ✓)
+            continue
         head = _LEXICON.get(word[:split])
         if head is None:
             continue

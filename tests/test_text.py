@@ -516,7 +516,10 @@ class TestEnglishGoldens:
                 continue
             miss += 1
         assert total > 5000
-        assert miss / total < 0.45, f"OOV {miss}/{total}"
+        # 15.6% measured after the eighth tranche (round 5; this tier
+        # count excludes the compound tier, so it reads higher than
+        # tools/eval_g2p.py's 7.4% token OOV)
+        assert miss / total < 0.25, f"OOV {miss}/{total}"
 
 
 class TestKoreanGoldens:
@@ -1397,8 +1400,10 @@ class TestEnglishFallbackAccuracy:
             if strip(got) != strip(gold):
                 fails.append((word, gold, got))
         accuracy = 1.0 - len(fails) / len(rows)
-        assert accuracy >= 0.95, (
-            f"fallback G2P accuracy {accuracy:.3f} < 0.95; fails: {fails}"
+        # 137/137 after the round-5 rule fixes (-ize/-ist morphology,
+        # initial hu- onset); floor leaves room for ≤4 future regressions
+        assert accuracy >= 0.97, (
+            f"fallback G2P accuracy {accuracy:.3f} < 0.97; fails: {fails}"
         )
 
     def test_morph_goldens_resolve_via_morphology(self):

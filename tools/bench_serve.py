@@ -63,6 +63,13 @@ def main():
                     help="toy-geometry engine (config.tiny_model_config) — "
                          "for CPU-host behavioral runs (overload/shedding "
                          "dynamics); absolute throughput is meaningless")
+    ap.add_argument("--compare", action="store_true",
+                    help="lone-client overhead isolation: run the SAME "
+                         "sentences through direct engine.tts and through "
+                         "batcher.tts (one client) in the same ambient "
+                         "window, report both p50s and the delta — "
+                         "cross-window comparisons conflate batcher "
+                         "overhead with ambient tunnel variance")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "")
@@ -94,6 +101,40 @@ def main():
     # batcher can emit (the batcher pads to pow2 precisely so this bounded
     # warm covers all serving shapes)
     batcher.warmup(SENTENCES, language="English")
+
+    if args.compare:
+        # interleave A/B rounds so a mid-run ambient drift hits both paths
+        half = max(1, int(args.duration) // 2)
+        direct_lat, batched_lat = [], []
+        deadline = time.monotonic() + 2 * half
+        j = 0
+        while time.monotonic() < deadline:
+            text = SENTENCES[j % len(SENTENCES)]
+            t0 = time.perf_counter()
+            eng.tts(text, speaker=j % 8, language="English")
+            direct_lat.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            batcher.tts(text, speaker=j % 8, language="English")
+            batched_lat.append(time.perf_counter() - t0)
+            j += 1
+        d50 = float(np.percentile(direct_lat, 50)) * 1000
+        b50 = float(np.percentile(batched_lat, 50)) * 1000
+        print(json.dumps({
+            "metric": "micro-batcher lone-client overhead (same window)",
+            "pairs": len(direct_lat),
+            "direct_p50_ms": round(d50, 1),
+            "batched_p50_ms": round(b50, 1),
+            "overhead_ms": round(b50 - d50, 1),
+            "direct_p95_ms": round(
+                float(np.percentile(direct_lat, 95)) * 1000, 1),
+            "batched_p95_ms": round(
+                float(np.percentile(batched_lat, 95)) * 1000, 1),
+            "window_ms": args.window_ms,
+            "dtype": args.dtype,
+            "engine": "tiny-behavioral" if args.tiny else "full",
+        }))
+        return
+
     warm_done = threading.Event()
 
     lat, audio_s = [], []
