@@ -23,6 +23,23 @@ DEFAULT_CACHE_DIR = os.path.join(
     ".jax_cache",
 )
 
+# Pin CPU codegen to the portable AVX2 baseline in every process that
+# imports the runtime: XLA's CPU AOT loader rejects persisted entries whose
+# compile-time machine features don't exactly match the host (native-ISA
+# selection bakes in LLVM tuning pseudo-features like +prefer-no-scatter),
+# so native entries die on any host machine-type change — and because the
+# rejected entry still occupies its cache key, the module recompiles in
+# EVERY later process, forever (observed: ~60 rejected loads per bench run
+# after the round-4/5 host change).  TPU compiles are keyed by their own
+# backend/options and are unaffected.  Must be in XLA_FLAGS before the CPU
+# client is created; the axon sitecustomize only force-creates the TPU
+# client, so import time is early enough.  tests/conftest.py and
+# __graft_entry__ apply the same cap.
+if "max_isa" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_max_isa=AVX2"
+    ).strip()
+
 
 def relay_alive() -> bool:
     """On axon loopback attaches, every device op futex-waits forever if
