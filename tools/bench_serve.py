@@ -51,7 +51,11 @@ def main():
 
     require_tpu_reachable()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--clients", type=str, default="8",
+                    help="comma list of load points; each point is 'N' or "
+                         "'N/queue' (e.g. '1,8,16,64/16'). All points run "
+                         "in ONE process — a fresh TPU process per point "
+                         "risks the axon chip-claim wedge (CLAUDE.md)")
     ap.add_argument("--duration", type=float, default=20.0)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_queue", type=int, default=64)
@@ -135,73 +139,92 @@ def main():
         }))
         return
 
-    warm_done = threading.Event()
-
-    lat, audio_s = [], []
-    sheds = [0]
-    lock = threading.Lock()
-    stop = time.monotonic() + args.duration
-
+    batcher.close()
     n_sid = min(8, int(hps.data.n_speakers))
 
-    def client(i):
-        warm_done.wait()
-        j = i
-        while time.monotonic() < stop:
-            text = SENTENCES[j % len(SENTENCES)]
-            j += 1
-            t0 = time.perf_counter()
-            try:
-                sr, wav = batcher.tts(
-                    text, speaker=i % n_sid, language="English"
-                )
-            except OverloadedError:
+    def run_point(n_clients: int, max_queue: int):
+        point = MicroBatcher(
+            eng, max_batch=args.max_batch, window_ms=args.window_ms,
+            max_queue=max_queue,
+        )
+        warm_done = threading.Event()
+        lat, audio_s = [], []
+        sheds = [0]
+        lock = threading.Lock()
+        stop_holder = [0.0]
+
+        def client(i):
+            warm_done.wait()
+            j = i
+            while time.monotonic() < stop_holder[0]:
+                text = SENTENCES[j % len(SENTENCES)]
+                j += 1
+                t0 = time.perf_counter()
+                try:
+                    sr, wav = point.tts(
+                        text, speaker=i % n_sid, language="English"
+                    )
+                except OverloadedError:
+                    with lock:
+                        sheds[0] += 1
+                    time.sleep(args.backoff_ms / 1000.0)
+                    continue
+                dt = time.perf_counter() - t0
                 with lock:
-                    sheds[0] += 1
-                time.sleep(args.backoff_ms / 1000.0)
-                continue
-            dt = time.perf_counter() - t0
-            with lock:
-                lat.append(dt)
-                audio_s.append(len(wav) / sr)
+                    lat.append(dt)
+                    audio_s.append(len(wav) / sr)
 
-    threads = [
-        threading.Thread(target=client, args=(i,))
-        for i in range(args.clients)
-    ]
-    for t in threads:
-        t.start()
-    t_start = time.perf_counter()
-    stop = time.monotonic() + args.duration
-    warm_done.set()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t_start
+        threads = [
+            threading.Thread(target=client, args=(i,))
+            for i in range(n_clients)
+        ]
+        for t in threads:
+            t.start()
+        t_start = time.perf_counter()
+        stop_holder[0] = time.monotonic() + args.duration
+        warm_done.set()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t_start
 
-    lat_np = np.asarray(lat)
-    result = {
-        "metric": "serving throughput under concurrent load (micro-batched)",
-        "clients": args.clients,
-        "requests": len(lat),
-        "wall_s": round(wall, 2),
-        "requests_per_s": round(len(lat) / wall, 2),
-        "audio_s_per_wall_s": round(float(np.sum(audio_s)) / wall, 1),
-        "latency_p50_ms": round(float(np.percentile(lat_np, 50)) * 1000, 1),
-        "latency_p95_ms": round(float(np.percentile(lat_np, 95)) * 1000, 1),
-        "latency_p99_ms": round(float(np.percentile(lat_np, 99)) * 1000, 1),
-        "shed": sheds[0],
-        "shed_rate": round(sheds[0] / max(sheds[0] + len(lat), 1), 3),
-        "max_queue": args.max_queue,
-        "dispatches": batcher.stats["dispatches"],
-        "mean_batch": round(
-            batcher.stats["requests"] / max(batcher.stats["dispatches"], 1), 2
-        ),
-        "max_batch_seen": batcher.stats["max_batch_seen"],
-        "window_ms": args.window_ms,
-        "dtype": args.dtype,
-        "engine": "tiny-behavioral" if args.tiny else "full",
-    }
-    print(json.dumps(result))
+        lat_np = np.asarray(lat)
+        result = {
+            "metric": "serving throughput under concurrent load "
+                      "(micro-batched)",
+            "clients": n_clients,
+            "requests": len(lat),
+            "wall_s": round(wall, 2),
+            "requests_per_s": round(len(lat) / wall, 2),
+            "audio_s_per_wall_s": round(float(np.sum(audio_s)) / wall, 1),
+            "latency_p50_ms": round(
+                float(np.percentile(lat_np, 50)) * 1000, 1),
+            "latency_p95_ms": round(
+                float(np.percentile(lat_np, 95)) * 1000, 1),
+            "latency_p99_ms": round(
+                float(np.percentile(lat_np, 99)) * 1000, 1),
+            "shed": sheds[0],
+            "shed_rate": round(sheds[0] / max(sheds[0] + len(lat), 1), 3),
+            "max_queue": max_queue,
+            "dispatches": point.stats["dispatches"],
+            "mean_batch": round(
+                point.stats["requests"]
+                / max(point.stats["dispatches"], 1), 2
+            ),
+            "max_batch_seen": point.stats["max_batch_seen"],
+            "window_ms": args.window_ms,
+            "dtype": args.dtype,
+            "engine": "tiny-behavioral" if args.tiny else "full",
+        }
+        print(json.dumps(result), flush=True)
+        point.close()
+
+    for spec in args.clients.split(","):
+        spec = spec.strip()
+        if "/" in spec:
+            n_str, q_str = spec.split("/")
+            run_point(int(n_str), int(q_str))
+        else:
+            run_point(int(spec), args.max_queue)
 
 
 if __name__ == "__main__":
