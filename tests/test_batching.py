@@ -151,3 +151,31 @@ class TestMicroBatcher:
         sr, wav = mb.tts("abc", speaker=0)
         assert wav.shape == (3,)
         mb.close()
+
+
+class TestParseClientSpecs:
+    """bench_serve's one-process multi-point sweep spec: 'N' or 'N/queue',
+    comma-separated (tools/bench_serve.py parse_client_specs)."""
+
+    def test_single_point_default_queue(self):
+        from tools.bench_serve import parse_client_specs
+
+        assert parse_client_specs("8", 64) == [(8, 64)]
+
+    def test_sweep_with_per_point_queue(self):
+        from tools.bench_serve import parse_client_specs
+
+        assert parse_client_specs("1,8,16,64/16", 64) == [
+            (1, 64), (8, 64), (16, 64), (64, 16),
+        ]
+
+    def test_whitespace_and_empty_segments_tolerated(self):
+        from tools.bench_serve import parse_client_specs
+
+        assert parse_client_specs(" 4 , , 32/8 ", 64) == [(4, 64), (32, 8)]
+
+    def test_empty_spec_rejected(self):
+        from tools.bench_serve import parse_client_specs
+
+        with pytest.raises(ValueError):
+            parse_client_specs("", 64)

@@ -42,6 +42,27 @@ SENTENCES = [
 ]
 
 
+def parse_client_specs(spec_list: str, default_queue: int):
+    """``'1,8,16,64/16'`` → ``[(1, q), (8, q), (16, q), (64, 16)]``.
+
+    Each comma-separated point is ``N`` (clients, default queue) or
+    ``N/queue``.  All points run in one process — a fresh TPU process per
+    point risks the axon chip-claim wedge (CLAUDE.md)."""
+    points = []
+    for spec in spec_list.split(","):
+        spec = spec.strip()
+        if not spec:
+            continue
+        if "/" in spec:
+            n_str, q_str = spec.split("/")
+            points.append((int(n_str), int(q_str)))
+        else:
+            points.append((int(spec), default_queue))
+    if not points:
+        raise ValueError(f"no load points in --clients={spec_list!r}")
+    return points
+
+
 def main():
     # fail fast instead of futex-hanging when the TPU tunnel relay is
     # dead (utils/runtime.require_tpu_reachable; CLAUDE.md ops notes)
@@ -218,13 +239,10 @@ def main():
         print(json.dumps(result), flush=True)
         point.close()
 
-    for spec in args.clients.split(","):
-        spec = spec.strip()
-        if "/" in spec:
-            n_str, q_str = spec.split("/")
-            run_point(int(n_str), int(q_str))
-        else:
-            run_point(int(spec), args.max_queue)
+    for n_clients, max_queue in parse_client_specs(
+        args.clients, args.max_queue
+    ):
+        run_point(n_clients, max_queue)
 
 
 if __name__ == "__main__":
